@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Production target is Spark-on-cluster with an Iceberg catalog
+(``spark.read.format("iceberg")`` — SURVEY.md §1.3, §4.2); this sandbox has
+no Iceberg runtime jar and no network, so the factory detects the jar and
+falls back to a partitioned-Parquet catalog (kgp.io.catalog) with identical
+stage semantics. All scale-relevant knobs (AQE, skew join, Arrow batching,
+shuffle partitions) are set here once.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+
+def iceberg_available() -> bool:
+    import pyspark
+
+    return bool(glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*iceberg*")))
+
+
+def get_spark(
+    app_name: str = "kgp",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("KGP_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 8)
+        else:
+            shuffle_partitions = min(cores, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if iceberg_available():  # pragma: no cover - not present in sandbox
+        wh = os.environ.get("KGP_WAREHOUSE", "/tmp/kgp_warehouse")
+        b = (
+            b.config("spark.sql.catalog.kgp", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.kgp.type", "hadoop")
+            .config("spark.sql.catalog.kgp.warehouse", wh)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
