@@ -1,0 +1,167 @@
+"""Coreference (SURVEY.md F5 + A14).
+
+The reference models CR "similarly as a relation extraction task"
+(README.md:117): a binary classifier over mention pairs. Here the pair
+scorer is a batched pandas UDF (surrogate: 1.0 when both surfaces belong
+to the same alias group of the broadcast dictionary or are string-equal,
+else their char-ngram Jaccard — a calibrated score in [0,1] so the 0.5
+threshold has the same shape as the reference's softmax cutoff).
+
+Clustering has two implementations behind one contract
+(``mentions, positive_pairs -> (conv_id, mention_id, cluster_id)`` with
+``cluster_id = min(mention_id)`` for determinism):
+
+- ``cluster_unionfind`` — per-conversation union-find via
+  ``cogroup().applyInPandas``. Conversations are bounded (a 10^4-turn
+  conversation's mentions fit a single task comfortably), so grouping by
+  conv_id is the natural partitioning; this is the default.
+
+- ``cluster_hashmin`` — the join-iterative "hash-min" label propagation
+  (each vertex repeatedly takes the min label in its neighborhood;
+  converges in O(log n) rounds). No single task ever holds a whole
+  component, so this is the scale path for adversarially huge components;
+  AQE handles the per-round skew. Tests assert both produce identical
+  clusters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp.config import DEFAULT_CONFIG, PipelineConfig
+from kgp.functions.surrogate import jaccard
+
+CLUSTER_SCHEMA = "conv_id string, mention_id long, cluster_id long"
+
+
+def score_coref_pairs(
+    spark: SparkSession,
+    pairs: DataFrame,
+    surface_groups: dict,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Binary coref scorer over candidate pairs -> adds ``coref_score``.
+
+    ``surface_groups``: surface string -> alias-group id (entity index) —
+    the broadcast "model" of the surrogate.
+    """
+    groups_bc = spark.sparkContext.broadcast(surface_groups)
+
+    @F.pandas_udf("double")
+    def coref_scorer(a: pd.Series, b: pd.Series) -> pd.Series:
+        groups = groups_bc.value
+        out = []
+        for x, y in zip(a, b):
+            gx, gy = groups.get(x), groups.get(y)
+            if (gx is not None and gx == gy) or x == y:
+                out.append(1.0)
+            else:
+                out.append(jaccard(x, y))
+        return pd.Series(out)
+
+    return pairs.withColumn("coref_score", coref_scorer("a_mention", "b_mention"))
+
+
+def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    return scored_pairs.where(
+        (F.col("coref_score") > cfg.coref_threshold)
+        & (F.col("a_label") == F.col("b_label"))  # type-consistent clusters
+    ).select(
+        F.col("a_conv_id").alias("conv_id"),
+        F.col("a_mention_id").alias("src"),
+        F.col("b_mention_id").alias("dst"),
+    )
+
+
+def cluster_unionfind(
+    mentions: DataFrame, edges: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-conversation union-find (cogroup on conv_id)."""
+
+    def uf(key, mention_pdfs: pd.DataFrame, edge_pdfs: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        ids = list(mention_pdfs["mention_id"])
+        for m in ids:
+            parent.setdefault(m, m)
+        for s, d in zip(edge_pdfs["src"], edge_pdfs["dst"]):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                # deterministic: larger root points to smaller
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        return pd.DataFrame(
+            {
+                "conv_id": [key[0]] * len(ids),
+                "mention_id": ids,
+                "cluster_id": [find(int(m)) for m in ids],
+            }
+        )
+
+    return (
+        mentions.select("conv_id", "mention_id")
+        .groupBy("conv_id")
+        .cogroup(edges.select("conv_id", "src", "dst").groupBy("conv_id"))
+        .applyInPandas(uf, schema=CLUSTER_SCHEMA)
+    )
+
+
+def cluster_hashmin(
+    mentions: DataFrame, edges: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Join-iterative min-label propagation (scale path; no per-component task)."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    labels = mentions.select("conv_id", "mention_id", F.col("mention_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(cfg.cc_max_iters):
+        neigh_min = (
+            labels.join(sym, labels["mention_id"] == sym["src"])
+            .groupBy(F.col("dst").alias("mention_id"))
+            .agg(F.min("cluster_id").alias("neigh_label"))
+        )
+        new = (
+            labels.join(neigh_min, "mention_id", "left")
+            .select(
+                "conv_id",
+                "mention_id",
+                F.least(F.col("cluster_id"), F.coalesce("neigh_label", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "mention_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_clusters(clusters: DataFrame) -> DataFrame:
+    """Re-key each component to min(mention_id) (idempotent; both
+    implementations already produce min-rooted labels, this is the
+    explicit invariant)."""
+    rep = clusters.groupBy("cluster_id").agg(F.min("mention_id").alias("rep"))
+    return clusters.join(rep, "cluster_id").select(
+        "conv_id", "mention_id", F.col("rep").alias("cluster_id")
+    )

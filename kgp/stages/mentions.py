@@ -1,0 +1,91 @@
+"""Mention detection (SURVEY.md F1/F2, P6/P7/P15): documents -> mentions.
+
+One ``mapInPandas`` pass per Arrow batch of documents:
+tokenize every turn (F1) -> gazetteer emission model (surrogate for the
+BERT token tagger, CRF/modeling_bert.py:248-350) -> batch-vectorized
+Viterbi (the CRF ``decode()`` path, CRF/main.py:311-318) -> BIO decode to
+spans (ner_format_utils.py:23-73 semantics) -> explode to one row per
+mention. The tagger parameters (token membership indexes) are built once
+driver-side and shipped via broadcast, not captured per-task.
+
+``mention_id`` is a content hash (xxhash64 over conv_id|turn_idx|start|end)
+computed with the Spark builtin AFTER the UDF — cross-run stable, partition
+independent (SURVEY.md §4.3(2)).
+
+Also provides ``tokenize_turns`` — the standalone F1 tokenizer over raw
+transcripts, reused by the relation stage to slice between-span tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp.config import DEFAULT_CONFIG, PipelineConfig
+from kgp.functions.surrogate import LABELS, batch_viterbi, bio_decode, build_emissions, tokenize
+from kgp.ids import spark_stable_id_expr
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, mention string, label string"
+)
+
+
+def detect_mentions(
+    spark: SparkSession,
+    documents: DataFrame,
+    surfaces: list,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """documents -> mentions(conv_id, turn_idx, start, end, mention, label, mention_id).
+
+    ``surfaces``: [(surface_string, entity_type)] — the tagger's gazetteer.
+    """
+    from kgp.functions.surrogate import build_tagger_params
+
+    params_bc = spark.sparkContext.broadcast(build_tagger_params(surfaces))
+    max_len = cfg.max_seq_len
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_index, i_index = params_bc.value
+        for pdf in batches:
+            conv_ids, turn_idxs, token_lists = [], [], []
+            for conv_id, turns in zip(pdf["conv_id"], pdf["turns"]):
+                for t in turns:
+                    toks = tokenize(t["text"])[:max_len]  # truncation, P5 analogue
+                    if toks:
+                        conv_ids.append(conv_id)
+                        turn_idxs.append(t["turn_idx"])
+                        token_lists.append(toks)
+            ems = [build_emissions(toks, b_index, i_index) for toks in token_lists]
+            paths = batch_viterbi(ems)
+            out = {"conv_id": [], "turn_idx": [], "start": [], "end": [], "mention": [], "label": []}
+            for cid, tix, toks, path in zip(conv_ids, turn_idxs, token_lists, paths):
+                for s, e, label in bio_decode([LABELS[i] for i in path]):
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(tix)
+                    out["start"].append(s)
+                    out["end"].append(e)
+                    out["mention"].append(" ".join(toks[s:e]))
+                    out["label"].append(label)
+            yield pd.DataFrame(out)
+
+    raw = documents.select("conv_id", "turns").mapInPandas(tag, schema=MENTION_SCHEMA)
+    return raw.withColumn(
+        "mention_id", spark_stable_id_expr("conv_id", "turn_idx", "start", "end")
+    )
+
+
+TOKENS_SCHEMA = "conv_id string, turn_idx int, tokens array<string>"
+
+
+def tokenize_turns(transcripts: DataFrame) -> DataFrame:
+    """Standalone F1 tokenizer over raw turns (vectorized pandas UDF)."""
+
+    @F.pandas_udf("array<string>")
+    def tok(texts: pd.Series) -> pd.Series:
+        return texts.map(tokenize)
+
+    return transcripts.select("conv_id", "turn_idx", tok("text").alias("tokens"))

@@ -1,0 +1,87 @@
+"""End-to-end composition: transcripts -> ... -> triples + graph.
+
+Each stage is a pure ``DataFrame -> DataFrame`` function (SURVEY.md §7
+design stance); this module wires them. ``mentions`` is consumed by three
+downstream branches (RE pairs, coref pairs, cluster surfaces), so it is
+persisted once rather than recomputed per branch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp.config import DEFAULT_CONFIG, PipelineConfig
+from kgp.stages.assemble import assemble_documents
+from kgp.stages.coref import (
+    cluster_unionfind,
+    positive_edges,
+    score_coref_pairs,
+)
+from kgp.stages.graph import materialize_graph
+from kgp.stages.linking import cluster_surfaces, link_clusters
+from kgp.stages.mentions import detect_mentions, tokenize_turns
+from kgp.stages.pairs import coref_pairs, re_pairs
+from kgp.stages.relations import classify_relations
+from kgp.stages.triples import assemble_triples
+
+
+@dataclass
+class PipelineModel:
+    """The broadcastable 'model' of the surrogate pipeline: gazetteer
+    surfaces for the tagger, alias groups for the coref scorer, and the
+    alias dictionary DataFrame for linking."""
+
+    surfaces: list  # [(surface, entity_type)]
+    surface_groups: dict  # surface -> alias-group id
+    alias_dict: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    model: PipelineModel,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    documents = assemble_documents(transcripts, cfg)
+    mentions = detect_mentions(spark, documents, model.surfaces, cfg).persist()
+    turn_tokens = tokenize_turns(transcripts)
+
+    relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
+
+    scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
+    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).persist()
+
+    links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
+    triples = assemble_triples(relations, clusters, links)
+    edges, entity_dict, relation_dict = materialize_graph(triples)
+    return {
+        "documents": documents,
+        "mentions": mentions,
+        "turn_tokens": turn_tokens,
+        "relations": relations,
+        "clusters": clusters,
+        "links": links,
+        "link_candidates": candidates,
+        "triples": triples,
+        "edges": edges,
+        "entity_dict": entity_dict,
+        "relation_dict": relation_dict,
+    }
+
+
+def fixture_model(spark: SparkSession, fixture_cfg=None) -> PipelineModel:
+    """PipelineModel from the deterministic fixture gazetteer."""
+    from kgp.config import FixtureConfig
+    from kgp.fixtures import alias_df, make_gazetteer, tagger_surfaces
+
+    fixture_cfg = fixture_cfg or FixtureConfig()
+    gaz = make_gazetteer(fixture_cfg)
+    groups = {s: e.idx for e in gaz for s in e.surfaces}
+    return PipelineModel(
+        surfaces=tagger_surfaces(gaz),
+        surface_groups=groups,
+        alias_dict=alias_df(spark, fixture_cfg),
+    )
