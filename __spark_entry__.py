@@ -1,38 +1,350 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full KG construction pipeline (transcripts ->
+documents -> mentions -> relations -> coref clusters -> entity links ->
+triples) at sf0.001, returning the triples DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator from
+SURVEY.md §2, checked side-by-side against DuckDB at sf0.01. The KG
+pipeline's transcript input is synthesized deterministically per sf (see
+kgp/entry_support.py); its oracle is the single-process Python oracle's
+materialized gold parquet, plus real relational SQL where the operator is
+SQL-expressible (doc assembly, pair joins, KGAT arithmetic, dedup family,
+ANN, text stats). Coref clustering (iterative connected components) has no
+SQL twin and is covered transitively: kg_clusters compares the full
+distributed clustering against the oracle gold.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgp import oracles
+from kgp.config import DEFAULT_CONFIG
+from kgp.entry_support import ensure_fixtures, fixture_dir, fixture_model_for, load_transcripts
+
+CFG = DEFAULT_CONFIG
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _gold(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    fdir = ensure_fixtures(sf_dir)
+    return spark.read.parquet(os.path.join(fdir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the full KG construction pipeline."""
+    from kgp.stages.pipeline import run_pipeline
+
+    transcripts = load_transcripts(spark, SF001)
+    model = fixture_model_for(spark, SF001)
+    out = run_pipeline(spark, transcripts, model, CFG)
+    return out["triples"].select(
+        "conv_id",
+        "subj",
+        "pred",
+        "obj",
+        F.array_join(F.transform("src_turns", lambda x: x.cast("string")), ",").alias("src_turns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (fixture transcripts; gold = python oracle parquet)
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_assembly(spark, sf_dir):
+    from kgp.stages.assemble import assemble_documents
+
+    docs = assemble_documents(load_transcripts(spark, sf_dir), CFG)
+    return docs.select(
+        "conv_id", F.col("seg").cast("long").alias("seg"),
+        F.col("n_turns").cast("long").alias("n_turns"), "doc_text",
+    )
+
+
+_PIPE_CACHE: dict = {}
+
+
+def _pipeline_outputs(spark, sf_dir):
+    """Memoized per (spark app, sf_dir): several queries() entries expose
+    different outputs of the same pipeline run; within one session the
+    shared upstream stages (mentions, clusters) stay persisted."""
+    from kgp.stages.pipeline import run_pipeline
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if key not in _PIPE_CACHE:
+        _PIPE_CACHE[key] = run_pipeline(
+            spark, load_transcripts(spark, sf_dir), fixture_model_for(spark, sf_dir), CFG
+        )
+    return _PIPE_CACHE[key]
+
+
+def _q_mentions(spark, sf_dir):
+    m = _pipeline_outputs(spark, sf_dir)["mentions"]
+    return m.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("start").cast("long").alias("start"), F.col("end").cast("long").alias("end"),
+        "mention", "label", "mention_id",
+    )
+
+
+def _q_relations(spark, sf_dir):
+    r = _pipeline_outputs(spark, sf_dir)["relations"]
+    return r.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "head_mention_id", "tail_mention_id",
+        F.col("rel_id").cast("long").alias("rel_id"), "rel", "score",
+    )
+
+
+def _q_clusters(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["clusters"].select("conv_id", "mention_id", "cluster_id")
+
+
+def _q_links(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["links"].select("cluster_id", "entity_id", "score")
+
+
+def _q_triples(spark, sf_dir):
+    t = _pipeline_outputs(spark, sf_dir)["triples"]
+    return t.select(
+        "conv_id", "subj", "pred", "obj",
+        F.array_join(F.transform("src_turns", lambda x: x.cast("string")), ",").alias("src_turns"),
+    )
+
+
+def _q_edges(spark, sf_dir):
+    e = _pipeline_outputs(spark, sf_dir)["edges"]
+    return e.select(F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long"))
+
+
+def _q_re_pairs(spark, sf_dir):
+    from kgp.stages.pairs import re_pairs
+
+    m = _gold(spark, sf_dir, "gold_mentions")
+    return re_pairs(m, CFG).select("a_mention_id", "b_mention_id")
+
+
+def _q_coref_pairs(spark, sf_dir):
+    from kgp.stages.pairs import coref_pairs
+
+    m = _gold(spark, sf_dir, "gold_mentions")
+    return coref_pairs(m, CFG).select("a_mention_id", "b_mention_id")
+
+
+def _q_kgat_edges(spark, sf_dir):
+    from kgp.stages.graph import kgat_construct
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    kg = li.select(
+        F.col("l_partkey").cast("long").alias("h"), F.lit(0).alias("r"),
+        F.col("l_suppkey").cast("long").alias("t"),
+    ).distinct()
+    cf = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").cast("long").alias("user"), F.col("l_partkey").cast("long").alias("item"))
+        .distinct()
+    )
+    e = kgat_construct(kg, cf)["edges"]
+    return e.select(F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# data-op queries (driver testdata views)
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from kgp.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from kgp.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from kgp.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4, n=3)
+
+
+def _q_simhash(spark, sf_dir):
+    from kgp.ops.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from kgp.ops.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_bruteforce(emb, q, k=10)
+    return out.select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from kgp.ops.textstats import lang_id
+
+    out = lang_id(_t(spark, sf_dir, "documents"))
+    casts = [F.col(c).cast("long").alias(c) if c.startswith("hits_") else F.col(c) for c in out.columns]
+    return out.select(*casts)
+
+
+def _q_quality(spark, sf_dir):
+    from kgp.ops.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from kgp.ops.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from kgp.ops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is TIMESTAMP_NTZ in parquet
+    marked = ev.withColumn(
+        "new_s",
+        F.when(us - F.lag(us).over(w) > 30 * 60 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return marked.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").alias("n_events"), F.sum("new_s").cast("long").alias("n_sessions")
+    )
+
+
+def _q_edge_softmax(spark, sf_dir):
+    from kgp.stages.graph import edge_softmax
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").cast("long").alias("h"), F.col("l_partkey").cast("long").alias("t"),
+        F.col("l_discount").alias("score"),
+    ).distinct()
+    out = edge_softmax(e)
+    return out.select("h", "t", F.round("att", 12).alias("att"))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG construction pipeline (SURVEY.md §2 A2/W1, F1/F2, J10, F4, F5/A14,
+        # J1-J3/F6/W2/P14, triples, P16/P17/U1/J8)
+        "kg_doc_assembly": _q_doc_assembly,
+        "kg_mentions": _q_mentions,
+        "kg_relations": _q_relations,
+        "kg_clusters": _q_clusters,
+        "kg_links": _q_links,
+        "kg_triples": _q_triples,
+        "kg_edges": _q_edges,
+        "kg_re_pairs": _q_re_pairs,
+        "kg_coref_pairs": _q_coref_pairs,
+        "kg_kgat_edges": _q_kgat_edges,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_token_counts": _q_token_counts,
+        "text_fingerprint": _q_fingerprint,
+        "events_sessionize": _q_sessionize,
+        "graph_edge_softmax": _q_edge_softmax,
+        "tpch_q1": _q_tpch_q1,
+        "top_revenue": _q_top_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fdir = ensure_fixtures(SF01)
+
+    def g(name):
+        return os.path.join(fdir, f"{name}.parquet")
+
+    return {
+        "kg_doc_assembly": oracles.doc_assembly_sql(
+            os.path.join(fdir, "transcripts.parquet"), CFG.max_turns_per_doc
+        ),
+        "kg_mentions": oracles.gold_sql(g("gold_mentions")),
+        "kg_relations": oracles.gold_sql(g("gold_relations")),
+        "kg_clusters": oracles.gold_sql(g("gold_clusters")),
+        "kg_links": oracles.gold_sql(g("gold_links")),
+        "kg_triples": oracles.gold_sql(g("gold_triples")),
+        "kg_edges": oracles.gold_sql(g("gold_edges")),
+        "kg_re_pairs": oracles.re_pairs_sql(g("gold_mentions")),
+        "kg_coref_pairs": oracles.coref_pairs_sql(g("gold_mentions"), CFG.coref_turn_window),
+        "kg_kgat_edges": oracles.kgat_edges_sql(),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
+        "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),
+        "dedup_simhash": oracles.simhash_sql(),
+        "ann_cosine_topk": oracles.ann_topk_sql(5, 10),
+        "text_lang_id": oracles.lang_id_sql(),
+        "text_quality": oracles.quality_sql(),
+        "text_token_counts": oracles.token_counts_sql(),
+        "text_fingerprint": oracles.fingerprint_sql(3),
+        "events_sessionize": oracles.sessionize_sql(30),
+        "graph_edge_softmax": oracles.edge_softmax_sql(),
+        "tpch_q1": oracles.tpch_q1_sql(),
+        "top_revenue": oracles.top_revenue_sql(20),
+    }

@@ -1,0 +1,94 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": "triples_per_sec", "value": N, "unit": "sec"?, ...}.
+
+Headline metric: end-to-end KG-construction throughput (emitted triples /
+wall second) over the sf-scaled synthetic transcript fixture, which at
+sf0.1 includes one deliberate 10^4-turn skew conversation. Per-query wall
+seconds for the other operators are reported under "queries".
+
+Scaling evidence (north_rule two-cluster-size criterion): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+and compare; tools/scaling_bench.py automates both and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kgp.entry_support import ensure_fixtures
+    from kgp.session import get_spark
+
+    pipeline_only = os.environ.get("BENCH_PIPELINE_ONLY") == "1"
+    ensure_fixtures(sf_dir)  # fixture materialization excluded from timing
+    # shuffle_partitions fixed across parallelism levels (AQE coalesces),
+    # so scaling runs differ only in cores
+    spark = get_spark("kgp-bench", master=f"local[{cpus}]", shuffle_partitions=64)
+    # one warm-up action so JVM/codegen startup isn't in the first query's time
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    qs = entry.queries()
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # headline: full pipeline -> triples (count() materializes every stage)
+    def pipeline():
+        outs = entry._pipeline_outputs(spark, sf_dir)
+        n = outs["triples"].count()
+        outs["edges"].count()
+        return n
+
+    n_triples = timed("kg_pipeline_e2e", pipeline)
+
+    bench_queries = [] if pipeline_only else [
+        "kg_doc_assembly",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+        "events_sessionize",
+        "graph_edge_softmax",
+        "tpch_q1",
+        "top_revenue",
+    ]
+    for name in bench_queries:
+        timed(name, lambda fn=qs[name]: fn(spark, sf_dir).count())
+
+    spark.stop()
+    e2e = timings["kg_pipeline_e2e"]
+    result = {
+        "metric": "triples_per_sec",
+        "value": round(n_triples / e2e, 2) if e2e else 0.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_triples": n_triples,
+    }
+    print(json.dumps(result), file=out)
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    run_bench(sf_dir, cpus)

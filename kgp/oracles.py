@@ -1,0 +1,275 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Every implemented operator exposes (a) a Spark query in
+``__spark_entry__.queries()`` and (b) an equivalent ANSI-SQL string here,
+runnable by DuckDB over the same parquet (testdata views + fixture files).
+SQL is generated from the same constants the Spark operators use
+(stopword lists, minhash params, trigger maps), so the two sides cannot
+drift apart silently.
+"""
+
+from __future__ import annotations
+
+from kgp.ops.dedup import MINHASH_P, MINHASH_SEED_A, MINHASH_SEED_B
+from kgp.ops.textstats import BPE_ISH_RE, LANGS, STOPWORDS
+
+# ---------------------------------------------------------------------------
+# KG pipeline oracles (fixture-backed)
+# ---------------------------------------------------------------------------
+
+
+def doc_assembly_sql(transcripts_path: str, max_turns_per_doc: int) -> str:
+    return f"""
+SELECT conv_id,
+       CAST(turn_idx // {max_turns_per_doc} AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM read_parquet('{transcripts_path}')
+GROUP BY conv_id, turn_idx // {max_turns_per_doc}
+"""
+
+
+def gold_sql(gold_path: str) -> str:
+    return f"SELECT * FROM read_parquet('{gold_path}')"
+
+
+def re_pairs_sql(gold_mentions_path: str) -> str:
+    return f"""
+SELECT a.mention_id AS a_mention_id, b.mention_id AS b_mention_id
+FROM read_parquet('{gold_mentions_path}') a
+JOIN read_parquet('{gold_mentions_path}') b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.start < b.start
+"""
+
+
+def coref_pairs_sql(gold_mentions_path: str, window: int) -> str:
+    return f"""
+SELECT a.mention_id AS a_mention_id, b.mention_id AS b_mention_id
+FROM read_parquet('{gold_mentions_path}') a
+JOIN read_parquet('{gold_mentions_path}') b
+  ON a.conv_id = b.conv_id
+ AND b.turn_idx - a.turn_idx BETWEEN 0 AND {window}
+ AND (a.turn_idx < b.turn_idx OR (a.turn_idx = b.turn_idx AND a.start < b.start))
+"""
+
+
+def kgat_edges_sql() -> str:
+    """loader_kgat construct over lineitem-derived kg + orders-derived cf.
+
+    kg: (l_partkey, 0, l_suppkey) distinct; cf: (o_custkey, l_partkey).
+    Mirrors kgp.stages.graph.kgat_construct arithmetic exactly.
+    """
+    return """
+WITH kg AS (SELECT DISTINCT l_partkey AS h, 0 AS r, l_suppkey AS t FROM lineitem),
+ stats AS (SELECT (max(r)+1) AS n_rel, (greatest(max(h), max(t))+1) AS n_ent FROM kg),
+ cf AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT CAST(h AS BIGINT) AS h, CAST(r + 2 AS BIGINT) AS r, CAST(t AS BIGINT) AS t FROM kg
+UNION ALL
+SELECT CAST(t AS BIGINT), CAST(r + (SELECT n_rel FROM stats) + 2 AS BIGINT), CAST(h AS BIGINT) FROM kg
+UNION ALL
+SELECT CAST(u + (SELECT n_ent FROM stats) AS BIGINT), CAST(0 AS BIGINT), CAST(i AS BIGINT) FROM cf
+UNION ALL
+SELECT CAST(i AS BIGINT), CAST(1 AS BIGINT), CAST(u + (SELECT n_ent FROM stats) AS BIGINT) FROM cf
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-op oracles (testdata views)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_sql() -> str:
+    return "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text"
+
+
+def _shingle_cte(n: int) -> str:
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ sh AS (SELECT doc_id,
+        list_distinct(list_transform(range(0, greatest(len(w) - {n}, 0) + 1),
+                                     i -> array_to_string(w[i + 1 : i + {n}], ' '))) AS g
+        FROM t),
+ ex AS (SELECT doc_id, len(g) AS n_sh, unnest(g) AS gram FROM sh)
+"""
+
+
+def ngram_jaccard_sql(n: int, threshold: float) -> str:
+    return f"""
+WITH {_shingle_cte(n)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING count(*) / (a.n_sh + b.n_sh - count(*)) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(k: int, bands: int, n: int) -> str:
+    r = k // bands
+    perm_exprs = []
+    for i in range(k):
+        a = (MINHASH_SEED_A * (i + 1)) % MINHASH_P
+        b = (MINHASH_SEED_B * (i + 1)) % MINHASH_P
+        perm_exprs.append(
+            f"min(({a} * (hv % {MINHASH_P}) + {b}) % {MINHASH_P}) AS m{i}"
+        )
+    band_rows = []
+    for bi in range(bands):
+        key = " || '-' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {key} AS key FROM sig")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_shingle_cte(n)},
+ hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)::BIGINT AS hv FROM ex),
+ sig AS (SELECT doc_id, {', '.join(perm_exprs)} FROM hashed GROUP BY doc_id),
+ banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def simhash_sql() -> str:
+    return """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+ hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS h FROM toks),
+ bits AS (SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h // (1::BIGINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+          FROM hashed, (SELECT unnest(range(0, 60)) AS bit) b
+          GROUP BY doc_id, b.bit)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def ann_topk_sql(n_queries: int, k: int) -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), 'sum')"
+    )
+    nrm = (
+        lambda col: f"sqrt(list_aggregate(list_transform({col}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+ scored AS (SELECT q.q_id, e.vec_id,
+                   {dot} / ({nrm('e.embedding')} * {nrm('q.q_emb')}) AS cos
+            FROM embeddings e, q)
+SELECT q_id, vec_id, cos,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def lang_id_sql() -> str:
+    hits = {
+        lang: (
+            f"len(list_intersect(string_split(text, ' '), "
+            f"[{', '.join(repr(w) for w in STOPWORDS[lang])}]))"
+        )
+        for lang in LANGS
+    }
+    # sequential argmax fold: later lang wins only on strictly-greater
+    lang_expr = f"'{LANGS[0]}'"
+    run_max = hits[LANGS[0]]
+    for lang in LANGS[1:]:
+        lang_expr = f"CASE WHEN {hits[lang]} > ({run_max}) THEN '{lang}' ELSE ({lang_expr}) END"
+        run_max = f"greatest({run_max}, {hits[lang]})"
+    cols = ", ".join(f"CAST({hits[lang]} AS BIGINT) AS hits_{lang}" for lang in LANGS)
+    return f"SELECT doc_id, {cols}, {lang_expr} AS pred_lang FROM documents"
+
+
+def quality_sql() -> str:
+    sw = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_punct / greatest(n_chars, 1) AS punct_ratio,
+       n_stop / greatest(n_tok, 1) AS stopword_ratio,
+       (n_chars - n_tok + 1) / n_tok AS mean_word_len,
+       least(n_tok / 64.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+         + (1.0::DOUBLE - least(n_punct / greatest(n_chars, 1) * 4, 1.0::DOUBLE)) * 0.3::DOUBLE
+         + least(n_stop / greatest(n_tok, 1) * 5, 1.0::DOUBLE) * 0.3::DOUBLE AS quality
+FROM base
+"""
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def fingerprint_sql(n: int) -> str:
+    return f"""
+WITH {_shingle_cte(n)}
+SELECT doc_id, CAST(min(CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)) AS BIGINT) AS fingerprint
+FROM ex GROUP BY doc_id
+"""
+
+
+def sessionize_sql(gap_minutes: int) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM marked GROUP BY user_id
+"""
+
+
+def edge_softmax_sql() -> str:
+    """Per-destination softmax over a deterministic lineitem-derived edge
+    table (h=l_suppkey, t=l_partkey, score=l_discount); att rounded to
+    12 dp on both engines to absorb sum-order float jitter."""
+    return """
+WITH e AS (SELECT DISTINCT l_suppkey AS h, l_partkey AS t, l_discount AS score FROM lineitem),
+ z AS (SELECT t, sum(exp(score)) AS z FROM e GROUP BY t)
+SELECT CAST(e.h AS BIGINT) AS h, CAST(e.t AS BIGINT) AS t,
+       round(exp(e.score) / z.z, 12) AS att
+FROM e JOIN z ON e.t = z.t
+"""
+
+
+def tpch_q1_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_sql(limit: int) -> str:
+    return f"""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT {limit}
+"""

@@ -53,8 +53,8 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     edges: forward (h, r, t) distinct + reverse (t, r + n_rel, h) —
     loader_kgat.py:86-91 semantics over OUR extracted triples.
     """
-    ents = entity_ids(triples)
-    rels = relation_ids(triples)
+    ents = entity_ids(triples).localCheckpoint()
+    rels = relation_ids(triples).localCheckpoint()
     n_rel = rels.count()
     fwd = (
         triples.join(F.broadcast(ents.withColumnRenamed("entity_id", "subj")), "subj")
@@ -64,6 +64,7 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
         .join(F.broadcast(rels), "pred")
         .select("h", F.col("rel_int").alias("r"), "t")
         .dropDuplicates(["h", "r", "t"])  # A12
+        .localCheckpoint()  # consumed twice: forward set + reverse projection
     )
     rev = fwd.select(
         F.col("t").alias("h"), (F.col("r") + F.lit(n_rel)).alias("r"), F.col("h").alias("t")

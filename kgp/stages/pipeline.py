@@ -45,17 +45,24 @@ def run_pipeline(
     model: PipelineModel,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> dict:
+    # Stage boundaries are materialized AND lineage-truncated
+    # (localCheckpoint): in production each is an Iceberg stage table write
+    # (lineage.run_stage), which truncates the plan for free; in-session,
+    # checkpointing keeps the logical plan of every downstream query small —
+    # with plain persist() the full pipeline tree is re-analyzed on every
+    # action and Catalyst planning time dominates execution.
     documents = assemble_documents(transcripts, cfg)
-    mentions = detect_mentions(spark, documents, model.surfaces, cfg).persist()
+    mentions = detect_mentions(spark, documents, model.surfaces, cfg).localCheckpoint()
     turn_tokens = tokenize_turns(transcripts)
 
-    relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
+    relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg).localCheckpoint()
 
     scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).persist()
+    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint()
 
     links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
-    triples = assemble_triples(relations, clusters, links)
+    links = links.localCheckpoint()
+    triples = assemble_triples(relations, clusters, links).localCheckpoint()
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {
         "documents": documents,
