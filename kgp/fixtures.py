@@ -230,6 +230,82 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+# ---------------------------------------------------------------------------
+# Reference-format micro-fixtures (FIXTURES.md §B) — reader tests
+# ---------------------------------------------------------------------------
+
+
+def write_reference_format_fixtures(outdir: str) -> dict:
+    """Write tiny files in each reference on-disk format; returns paths."""
+    import json
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    paths = {}
+
+    semeval = [
+        {"token": ["the", "acme", "engine", "causes", "loud", "noise", "."],
+         "h": {"name": "acme engine", "pos": [1, 3]},
+         "t": {"name": "noise", "pos": [5, 6]},
+         "relation": "Cause-Effect(e1,e2)"},
+        {"token": ["bolt", "inside", "box", "."],
+         "h": {"name": "bolt", "pos": [0, 1]},
+         "t": {"name": "box", "pos": [2, 3]},
+         "relation": "Content-Container(e1,e2)"},
+        {"token": ["bad", "span", "row"],
+         "h": {"name": "mismatch", "pos": [0, 1]},
+         "t": {"name": "row", "pos": [2, 3]},
+         "relation": "Other"},
+    ]
+    paths["semeval"] = os.path.join(outdir, "re_semeval_sample.jsonl")
+    with open(paths["semeval"], "w") as f:
+        for r in semeval:
+            f.write(json.dumps(r) + "\n")
+
+    mrc = [
+        {"context": "alice works at acme", "qas_id": "0.0", "entity_label": "PER",
+         "start_position": [0], "end_position": [0], "impossible": False},
+        {"context": "alice works at acme", "qas_id": "0.1", "entity_label": "ORG",
+         "start_position": [3], "end_position": [3], "impossible": False},
+        {"context": "nothing here", "qas_id": "1.0", "entity_label": "PER",
+         "start_position": [], "end_position": [], "impossible": True},
+        {"context": "nothing here", "qas_id": "1.1", "entity_label": "ORG",
+         "start_position": [], "end_position": [], "impossible": True},
+    ]
+    paths["mrc"] = os.path.join(outdir, "ner_mrc_sample.json")
+    with open(paths["mrc"], "w") as f:
+        json.dump(mrc, f)
+
+    ccks = [
+        {"sentence": "acme hired bob", "labeled entities": [["0", "1", "ORG"], ["2", "3", "PER"]]},
+        {"sentence": "plain text", "labeled entities": []},
+    ]
+    paths["ccks"] = os.path.join(outdir, "ner_ccks_sample.json")
+    with open(paths["ccks"], "w") as f:
+        json.dump(ccks, f)
+
+    paths["el_pairs"] = os.path.join(outdir, "el_pairs_sample.tsv")
+    with open(paths["el_pairs"], "w") as f:
+        f.write("fever\thigh fever\t1\nfever\tbroken leg\t0\n")
+
+    paths["cdn"] = os.path.join(outdir, "el_cdn_sample.json")
+    with open(paths["cdn"], "w") as f:
+        json.dump([{"text": " fever and cough ", "normalized_result": "Fever##Cough"}], f)
+
+    paths["kg"] = os.path.join(outdir, "kg_triples_sample.txt")
+    with open(paths["kg"], "w") as f:
+        f.write("0 0 1\n1 1 2\n0 0 1\n")
+
+    paths["cf"] = os.path.join(outdir, "cf_adjacency_sample.txt")
+    with open(paths["cf"], "w") as f:
+        f.write("0 10 11 11 12\n1 10\n\n")
+
+    paths["remap"] = os.path.join(outdir, "id_remap_sample.txt")
+    with open(paths["remap"], "w") as f:
+        f.write("org_id remap_id\nm.045wq1q 0\nm.03_28m 1\n")
+    return paths
+
+
 def sanity_check_vocab(entities: list[Entity]) -> None:
     """Invariant: filler/trigger/gazetteer token sets are disjoint and every
     surface round-trips through the tokenizer unchanged."""
