@@ -51,17 +51,20 @@ def run_pipeline(
     # checkpointing keeps the logical plan of every downstream query small —
     # with plain persist() the full pipeline tree is re-analyzed on every
     # action and Catalyst planning time dominates execution.
+    # Only multi-consumer outputs are eagerly checkpointed (mentions feeds
+    # 3 branches, clusters 2, triples is scanned 3x by materialize_graph);
+    # single-consumer stages stay lazy so Spark fuses them into their
+    # consumer's job — fewer serial barriers, shorter critical path.
     documents = assemble_documents(transcripts, cfg)
     mentions = detect_mentions(spark, documents, model.surfaces, cfg).localCheckpoint()
     turn_tokens = tokenize_turns(transcripts)
 
-    relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg).localCheckpoint()
+    relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
 
     scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
     clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint()
 
     links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
-    links = links.localCheckpoint()
     triples = assemble_triples(relations, clusters, links).localCheckpoint()
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {
