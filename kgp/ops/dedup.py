@@ -56,6 +56,18 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.select("doc_id", grams.alias("shingles"))
 
 
+def dedup_within_group(df: DataFrame, group_cols: list, order_cols: list) -> DataFrame:
+    """A13: keep the first row per group under a deterministic order
+    (the reference's stateful seen-set during negative sampling,
+    prepare_training_datasets.py:82-100, as a rank window)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One survivor per distinct text: min doc_id (deterministic)."""
     return df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id")).select("doc_id", text_col)

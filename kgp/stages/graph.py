@@ -106,6 +106,46 @@ def kgat_construct(kg: DataFrame, cf: DataFrame) -> dict:
     return {"edges": edges, "adjacency": adjacency, "stats": stats}
 
 
+def kgat_attention(
+    spark,
+    edges: DataFrame,
+    ent_emb,
+    rel_emb,
+    rel_w,
+) -> DataFrame:
+    """F7: per-edge attention score ``att = tanh(W_r e_h + e_r) . (W_r e_t)``
+    (KGAT-pytorch/model/KGAT.py:111-129 semantics) as one batched pandas
+    UDF over the edge table, with the embedding matrices broadcast once.
+
+    ent_emb: (n_ent, d); rel_emb: (n_rel, d_r); rel_w: (n_rel, d_r, d).
+    Compose with :func:`edge_softmax` for the A10-normalized adjacency.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast((np.asarray(ent_emb), np.asarray(rel_emb), np.asarray(rel_w)))
+
+    @F.pandas_udf("double")
+    def att(h, r, t):
+        E, R, W = bc.value
+        hv = E[h.to_numpy()]  # (B, d)
+        tv = E[t.to_numpy()]
+        ri = r.to_numpy()
+        Wr = W[ri]  # (B, d_r, d)
+        wh = np.einsum("bij,bj->bi", Wr, hv)
+        wt = np.einsum("bij,bj->bi", Wr, tv)
+        return pd.Series(np.einsum("bi,bi->b", np.tanh(wh + R[ri]), wt))
+
+    return edges.withColumn("score", att("h", "r", "t"))
+
+
+def mask_train_interactions(scores: DataFrame, train: DataFrame, keys=("user", "item")) -> DataFrame:
+    """J7: drop train interactions from the candidate score table
+    (the reference zeroes them, metrics.py:126-130; anti-join is the
+    set-semantics equivalent for ranking)."""
+    return scores.join(train, on=list(keys), how="left_anti")
+
+
 def edge_softmax(edges_scored: DataFrame) -> DataFrame:
     """A10: per-destination softmax normalization of edge scores
     (KGAT-pytorch/utility/helper.py:11-23) — groupBy+join form (skew-safe

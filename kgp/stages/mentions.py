@@ -38,15 +38,21 @@ def detect_mentions(
     documents: DataFrame,
     surfaces: list,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    tagger: str = "crf",
 ) -> DataFrame:
     """documents -> mentions(conv_id, turn_idx, start, end, mention, label, mention_id).
 
     ``surfaces``: [(surface_string, entity_type)] — the tagger's gazetteer.
+    ``tagger``: "crf" (emissions + Viterbi + BIO decode, the reference's
+    best path) or "biaffine" (span scorer + greedy flat-NER decode, F3) —
+    both behind this one interface, as in SURVEY.md §7 slice 3.
     """
     from kgp.functions.surrogate import build_tagger_params
 
     params_bc = spark.sparkContext.broadcast(build_tagger_params(surfaces))
     max_len = cfg.max_seq_len
+    if tagger not in ("crf", "biaffine"):
+        raise ValueError(f"unknown tagger {tagger}")
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_index, i_index = params_bc.value
@@ -59,11 +65,21 @@ def detect_mentions(
                         conv_ids.append(conv_id)
                         turn_idxs.append(t["turn_idx"])
                         token_lists.append(toks)
-            ems = [build_emissions(toks, b_index, i_index) for toks in token_lists]
-            paths = batch_viterbi(ems)
+            if tagger == "crf":
+                ems = [build_emissions(toks, b_index, i_index) for toks in token_lists]
+                paths = batch_viterbi(ems)
+                span_lists = [
+                    bio_decode([LABELS[i] for i in path]) for path in paths
+                ]
+            else:
+                from kgp.functions.encoding import detect_spans_biaffine
+
+                span_lists = [
+                    detect_spans_biaffine(toks, b_index, i_index) for toks in token_lists
+                ]
             out = {"conv_id": [], "turn_idx": [], "start": [], "end": [], "mention": [], "label": []}
-            for cid, tix, toks, path in zip(conv_ids, turn_idxs, token_lists, paths):
-                for s, e, label in bio_decode([LABELS[i] for i in path]):
+            for cid, tix, toks, spans in zip(conv_ids, turn_idxs, token_lists, span_lists):
+                for s, e, label in spans:
                     out["conv_id"].append(cid)
                     out["turn_idx"].append(tix)
                     out["start"].append(s)
