@@ -43,7 +43,9 @@ def _write(path: str, rows: list[dict], schema: pa.Schema | None = None) -> None
     else:
         table = pa.Table.from_pylist([], schema=schema)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    # modest row groups keep a single fixture file splittable by Spark
+    # (one row group = one indivisible scan unit)
+    pq.write_table(table, tmp, row_group_size=50_000)
     os.replace(tmp, path)
 
 

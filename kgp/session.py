@@ -41,9 +41,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets *bytes*, but the hot stages here are
+        # pandas-UDF compute where bytes are a bad cost proxy: the default
+        # 1m floor coalesced tagger/scorer stages below the core count and
+        # idled a third of the cluster. A small floor keeps CPU-bound
+        # shuffle stages at the configured parallelism; relational stages
+        # still coalesce via parallelismFirst.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local fixtures are single parquet files; a smaller split size
+        # keeps their scans (and the map-side partial aggs fused into
+        # them) parallel. On a real cluster the Iceberg layout provides
+        # many files and this only affects oversized ones.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -37,6 +37,10 @@ from kgp.functions.surrogate import jaccard
 
 CLUSTER_SCHEMA = "conv_id string, mention_id long, cluster_id long"
 
+# per-worker score cache for the coref scorer (module-level so it survives
+# across Arrow batches under spark.python.worker.reuse)
+_SCORER_MEMO: dict = {}
+
 
 def score_coref_pairs(
     spark: SparkSession,
@@ -50,17 +54,30 @@ def score_coref_pairs(
     the broadcast "model" of the surrogate.
     """
     groups_bc = spark.sparkContext.broadcast(surface_groups)
+    # stable per-model cache key, captured driver-side (worker-side
+    # Broadcast objects don't expose the id)
+    model_key = f"coref-{groups_bc._jbroadcast.id()}"
 
     @F.pandas_udf("double")
     def coref_scorer(a: pd.Series, b: pd.Series) -> pd.Series:
         groups = groups_bc.value
+        # surfaces come from a closed vocabulary, so distinct (a, b) pairs
+        # are few relative to pair rows; memoize across batches (the memo
+        # lives for the Python worker's lifetime, bounded by vocab²·density).
+        # Keyed by broadcast id: another pipeline's model must not hit it.
+        memo: dict = _SCORER_MEMO.setdefault(model_key, {})
         out = []
         for x, y in zip(a, b):
-            gx, gy = groups.get(x), groups.get(y)
-            if (gx is not None and gx == gy) or x == y:
-                out.append(1.0)
-            else:
-                out.append(jaccard(x, y))
+            key = (x, y)
+            s = memo.get(key)
+            if s is None:
+                gx, gy = groups.get(x), groups.get(y)
+                if (gx is not None and gx == gy) or x == y:
+                    s = 1.0
+                else:
+                    s = jaccard(x, y)
+                memo[key] = s
+            out.append(s)
         return pd.Series(out)
 
     return pairs.withColumn("coref_score", coref_scorer("a_mention", "b_mention"))

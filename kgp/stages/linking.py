@@ -79,39 +79,52 @@ def link_clusters(
     n = cfg.ngram_size
     alias_norm = alias_dict.select(F.lower(F.trim("alias")).alias("alias"), "entity_id")
 
+    # Recall + scoring run per DISTINCT surface, not per (cluster, surface):
+    # distinct surfaces are bounded by vocabulary while cluster rows grow
+    # with the data, so the expensive ngram join and cross-encoder cost
+    # stays O(vocab) at any input scale; results join back to clusters at
+    # the end (the mention side of that join never carries candidate
+    # blow-up, only the final per-surface survivors).
+    surf = surfaces.select("surface").distinct()
+
     # --- stage 1: exact broadcast join (J3) ---
-    exact = surfaces.join(
-        F.broadcast(alias_norm), surfaces["surface"] == alias_norm["alias"]
-    ).select("cluster_id", "surface", "alias", "entity_id", F.lit(1.0).alias("score"))
+    exact_s = surf.join(
+        F.broadcast(alias_norm), surf["surface"] == alias_norm["alias"]
+    ).select("surface", "alias", "entity_id", F.lit(1.0).alias("score"))
 
     # --- stage 2: ngram recall join for the misses (J1) ---
-    misses = surfaces.join(
-        F.broadcast(alias_norm), surfaces["surface"] == alias_norm["alias"], "left_anti"
+    misses = surf.join(
+        F.broadcast(alias_norm), surf["surface"] == alias_norm["alias"], "left_anti"
     )
     m_grams = _ngram_explode(misses, "surface", n).select(
-        "cluster_id", "surface", F.col("n_grams").alias("n_s"), F.explode("grams").alias("gram")
+        "surface", F.col("n_grams").alias("n_s"), F.explode("grams").alias("gram")
     )
     posting = _ngram_explode(alias_norm.distinct(), "alias", n).select(
         "alias", "entity_id", F.col("n_grams").alias("n_a"), F.explode("grams").alias("gram")
     )
     overlap = (
         m_grams.join(F.broadcast(posting), "gram")
-        .groupBy("cluster_id", "surface", "n_s", "alias", "entity_id", "n_a")
+        .groupBy("surface", "n_s", "alias", "entity_id", "n_a")
         .agg(F.count("*").alias("ov"))
         .withColumn("recall_score", F.col("ov") / (F.col("n_s") + F.col("n_a") - F.col("ov")))
     )
-    w = Window.partitionBy("cluster_id", "surface").orderBy(
+    w = Window.partitionBy("surface").orderBy(
         F.desc("recall_score"), F.asc("entity_id"), F.asc("alias")
     )
     topk = overlap.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cfg.recall_top_k)
 
     # --- score pass (F6) + threshold (P14) ---
-    fuzzy = (
+    fuzzy_s = (
         topk.withColumn("score", _cross_encoder()("surface", "alias"))
         .where(F.col("score") > cfg.link_threshold)
-        .select("cluster_id", "surface", "alias", "entity_id", "score")
+        .select("surface", "alias", "entity_id", "score")
     )
-    candidates = exact.unionByName(fuzzy)
+
+    # --- join per-surface candidates back to clusters ---
+    cand_s = exact_s.unionByName(fuzzy_s)
+    candidates = surfaces.join(cand_s, "surface").select(
+        "cluster_id", "surface", "alias", "entity_id", "score"
+    )
 
     # --- best entity per cluster (deterministic tie-break) ---
     wc = Window.partitionBy("cluster_id").orderBy(
