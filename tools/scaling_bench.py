@@ -52,8 +52,17 @@ def main():
     sf_dir = os.environ.get("SCALE_SF_DIR", os.path.join(REPO, "fixtures", "sf1"))
     small, large = int(os.environ.get("SCALE_SMALL", 8)), int(os.environ.get("SCALE_LARGE", 32))
     repeats = int(os.environ.get("SCALE_REPEATS", 3))
-    r_small = run_level(small, sf_dir, repeats)
-    r_large = run_level(large, sf_dir, repeats)
+    # alternate levels so shared-host contention (other tenants) hits both
+    # levels' best-of-N windows equally instead of biasing whichever level
+    # happened to run during a calm period
+    r_small = r_large = None
+    for _ in range(repeats):
+        rs = run_level(small, sf_dir, 1)
+        rl = run_level(large, sf_dir, 1)
+        if r_small is None or rs["queries"]["kg_pipeline_e2e"] < r_small["queries"]["kg_pipeline_e2e"]:
+            r_small = rs
+        if r_large is None or rl["queries"]["kg_pipeline_e2e"] < r_large["queries"]["kg_pipeline_e2e"]:
+            r_large = rl
     t_s, t_l = r_small["queries"]["kg_pipeline_e2e"], r_large["queries"]["kg_pipeline_e2e"]
     speedup = t_s / t_l
     eff = speedup / (large / small)
