@@ -22,17 +22,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgp.config import DEFAULT_CONFIG, PipelineConfig
-from kgp.functions.surrogate import ID2REL, OTHER_ID, scan_relation
+from kgp.functions.surrogate import ID2REL, OTHER_ID, TRIGGER2REL, scan_relation
 
 
 def _relation_scorer():
+    # the surrogate head has exactly |triggers|+1 distinct outcomes (first
+    # trigger hit decides the argmax; no trigger -> Other), so the softmax
+    # is precomputed per outcome FROM scan_relation — the UDF's per-row
+    # work is just the first-trigger scan, with semantics still defined by
+    # the one shared function the oracle uses
+    outcome = {t: scan_relation([t]) for t in TRIGGER2REL}
+    no_hit = scan_relation([])
+    table = {t: (pid, float(np.max(sv))) for t, (pid, sv) in outcome.items()}
+    default = (no_hit[0], float(np.max(no_hit[1])))
+
     @F.pandas_udf("struct<pred_id:int, score:double>")
     def scorer(between: pd.Series) -> pd.DataFrame:
         preds, scores = [], []
         for toks in between:
-            pid, sv = scan_relation(list(toks) if toks is not None else [])
-            preds.append(pid)
-            scores.append(float(np.max(sv)))
+            res = default
+            if toks is not None:
+                for tok in toks:
+                    hit = table.get(tok)
+                    if hit is not None:
+                        res = hit
+                        break
+            preds.append(res[0])
+            scores.append(res[1])
         return pd.DataFrame({"pred_id": preds, "score": scores})
 
     return scorer
