@@ -41,6 +41,19 @@ def loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def wait_for_calm(threshold: float = 4.0, max_wait_s: int = 600) -> None:
+    """Co-tenant load arrives in minutes-scale bursts; measuring through a
+    burst is pure noise. Wait (bounded) for a calm 1-min loadavg before
+    each run — the recorded loadavg still exposes any run that couldn't
+    get a calm window."""
+    import time
+
+    waited = 0
+    while loadavg() > threshold and waited < max_wait_s:
+        time.sleep(30)
+        waited += 30
+
+
 def run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(
         os.environ,
@@ -48,6 +61,7 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_PIPELINE_ONLY="1",
     )
+    wait_for_calm()
     load = loadavg()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
