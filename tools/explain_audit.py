@@ -50,7 +50,8 @@ def main():
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
             f.write(plan)
-        n_codegen = len(re.findall(r"^\s*[:+-]*\s*\* ", plan, re.M))  # '*' marks codegen nodes
+        # formatted mode tags codegen membership as "[codegen id : N]"
+        n_codegen = len(re.findall(r"\[codegen id : \d+\]", plan))
         n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
