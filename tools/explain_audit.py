@@ -56,8 +56,10 @@ def main():
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
         pushed = "PushedFilters: \\[[^]]" in plan or bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        # pre-execution AQE plans omit codegen annotations; only report when present
+        cg = f"codegen={n_codegen} " if n_codegen else ""
         print(
-            f"{name}: codegen={n_codegen} bhj={n_bhj} smj={n_smj} cartesian={n_cart} "
+            f"{name}: {cg}bhj={n_bhj} smj={n_smj} cartesian={n_cart} "
             f"pushedFilters={'yes' if pushed else 'none'}"
         )
     spark.stop()
