@@ -189,6 +189,13 @@ def _q_simhash(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    from kgp.ops.dedup import embedding_cosine_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_cosine_dups(emb, threshold=0.4)
+
+
 def _q_ann_topk(spark, sf_dir):
     from kgp.ops.similarity import cosine_topk_bruteforce
 
@@ -303,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_topk,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -338,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),
         "dedup_simhash": oracles.simhash_sql(),
+        "dedup_embedding_cosine": oracles.embedding_dups_sql(0.4),
         "ann_cosine_topk": oracles.ann_topk_sql(5, 10),
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_sql(),

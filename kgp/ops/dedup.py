@@ -184,3 +184,64 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("long").alias("simhash"),
     )
     return sim
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_planes: int = 0,
+    lsh_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Two physical strategies behind one contract (``(a_id, b_id, cos)``
+    with ``a_id < b_id``):
+
+    - ``lsh_planes == 0`` — exact all-pairs (broadcast nested-loop on the
+      smaller side). O(N²): the correctness baseline and the oracle-checked
+      path; only for bounded inputs.
+    - ``lsh_planes > 0`` — hyperplane-LSH blocking (same sign-pattern
+      bucketing as kgp.ops.similarity.cosine_topk_lsh): pairs are only
+      compared within a shared bucket of one of ``lsh_tables`` independent
+      tables, an equi-join on the bucket id. Near-identical vectors
+      collide with probability (1 - theta/pi)^planes per table; recall is
+      tunable via planes/tables. This is the 100 TB path.
+
+    Dot products accumulate as double in array order — bit-identical to
+    the DuckDB oracle's list_transform/list_aggregate formulation.
+    """
+    from kgp.ops.similarity import _bucket_expr, _dot, _hyperplanes, _norm
+
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_emb"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_emb"))
+    if lsh_planes > 0:
+        tables = [_hyperplanes(dim, lsh_planes, seed + t) for t in range(lsh_tables)]
+        at = a.select(
+            "*", *[_bucket_expr(F.col("a_emb"), tables[t]).alias(f"k{t}") for t in range(lsh_tables)]
+        )
+        bt = b.select(
+            "*", *[_bucket_expr(F.col("b_emb"), tables[t]).alias(f"k{t}") for t in range(lsh_tables)]
+        )
+        cand = None
+        for t in range(lsh_tables):
+            c = at.join(bt, at[f"k{t}"] == bt[f"k{t}"]).select("a_id", "a_emb", "b_id", "b_emb")
+            cand = c if cand is None else cand.unionByName(c)
+        pairs = cand.where(F.col("a_id") < F.col("b_id")).dropDuplicates(["a_id", "b_id"])
+    else:
+        pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            (
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (_norm("a_emb") * _norm("b_emb"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

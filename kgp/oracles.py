@@ -142,6 +142,22 @@ FROM bits GROUP BY doc_id
 """
 
 
+def embedding_dups_sql(threshold: float) -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+    )
+    nrm = (
+        lambda col: f"sqrt(list_aggregate(list_transform({col}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dot} / ({nrm('a.embedding')} * {nrm('b.embedding')}) >= {threshold}
+"""
+
+
 def ann_topk_sql(n_queries: int, k: int) -> str:
     dot = (
         "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "

@@ -190,3 +190,35 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_embedding_cosine_dups_exact_and_lsh(spark):
+    from kgp.ops.dedup import embedding_cosine_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups: 10/11 ~ copies of 0/3 with tiny noise
+    rows.append((10, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((11, [float(x) for x in base[3] + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = embedding_cosine_dups(emb, threshold=0.95)
+    got = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+    assert got == {(0, 10), (3, 11)}
+
+    # brute-force cosine check of one pair
+    a = np.array(rows[0][1], dtype=np.float64)
+    b = np.array(rows[6][1], dtype=np.float64)
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    spark_cos = exact.where((F.col("a_id") == 0) & (F.col("b_id") == 10)).collect()[0]["cos"]
+    assert abs(spark_cos - want) < 1e-6
+
+    # the LSH-blocked scale path must find the same high-threshold pairs
+    # (near-identical vectors collide with overwhelming probability across
+    # 6 tables of 6 planes)
+    lsh = embedding_cosine_dups(emb, threshold=0.95, lsh_planes=6, lsh_tables=6, dim=16)
+    got_lsh = {(r["a_id"], r["b_id"]) for r in lsh.collect()}
+    assert got_lsh == {(0, 10), (3, 11)}
