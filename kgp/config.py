@@ -28,6 +28,7 @@ class PipelineConfig:
     # --- coref clustering (A14) ---
     coref_threshold: float = 0.5
     cc_max_iters: int = 20  # hash-min connected-components iteration cap
+    cc_buckets: int = 256  # conv-hash buckets for the union-find cogroup
 
     # --- physical ---
     shuffle_partitions: int = 32

@@ -52,6 +52,14 @@ def score_coref_pairs(
 
     ``surface_groups``: surface string -> alias-group id (entity index) —
     the broadcast "model" of the surrogate.
+
+    The score depends only on the two surface strings, and surfaces come
+    from a bounded vocabulary — so the UDF runs over the DISTINCT
+    (a_mention, b_mention) pairs only, and the big pair table gets its
+    scores via a broadcast join of that small scored-pair dim. Pair
+    instances grow with the data; distinct surface pairs grow with
+    vocab²·co-occurrence density. (Same O(vocab) argument as the linking
+    stage's per-distinct-surface scoring.)
     """
     groups_bc = spark.sparkContext.broadcast(surface_groups)
     # stable per-model cache key, captured driver-side (worker-side
@@ -80,7 +88,11 @@ def score_coref_pairs(
             out.append(s)
         return pd.Series(out)
 
-    return pairs.withColumn("coref_score", coref_scorer("a_mention", "b_mention"))
+    distinct = pairs.select("a_mention", "b_mention").distinct()
+    scored_dim = distinct.withColumn(
+        "coref_score", coref_scorer("a_mention", "b_mention")
+    )
+    return pairs.join(F.broadcast(scored_dim), ["a_mention", "b_mention"])
 
 
 def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -97,7 +109,21 @@ def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 def cluster_unionfind(
     mentions: DataFrame, edges: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Per-conversation union-find (cogroup on conv_id)."""
+    """Bucketed per-conversation union-find (cogroup on a conv_id hash
+    bucket).
+
+    Coref edges never cross conversations, so union-find over a whole
+    BUCKET of conversations is identical to running it per conversation —
+    but one pandas group per bucket instead of per conv_id amortizes the
+    fixed Arrow/pandas per-group cost (~ms) across thousands of
+    conversations; with one group per conversation that overhead was the
+    dominant cost of the whole stage at 10^5+ conversations. The bucket
+    count bounds per-task memory (a bucket holds |data| / n_buckets
+    mentions on average; the salted hash spreads hot conversations'
+    *pairs* upstream, and a single conversation's mentions always fit —
+    same argument as the per-conv variant).
+    """
+    nb = cfg.cc_buckets
 
     def uf(key, mention_pdfs: pd.DataFrame, edge_pdfs: pd.DataFrame) -> pd.DataFrame:
         parent: dict = {}
@@ -123,16 +149,21 @@ def cluster_unionfind(
                     parent[rs] = rd
         return pd.DataFrame(
             {
-                "conv_id": [key[0]] * len(ids),
+                "conv_id": mention_pdfs["conv_id"],
                 "mention_id": ids,
                 "cluster_id": [find(int(m)) for m in ids],
             }
         )
 
+    mb = mentions.select("conv_id", "mention_id").withColumn(
+        "b", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+    )
+    eb = edges.select("conv_id", "src", "dst").withColumn(
+        "b", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+    )
     return (
-        mentions.select("conv_id", "mention_id")
-        .groupBy("conv_id")
-        .cogroup(edges.select("conv_id", "src", "dst").groupBy("conv_id"))
+        mb.groupBy("b")
+        .cogroup(eb.groupBy("b"))
         .applyInPandas(uf, schema=CLUSTER_SCHEMA)
     )
 
