@@ -7,7 +7,9 @@ efficiency
 
     eff(a -> b) = (T_a / T_b) / (b / a)
 
-and writes BENCH/BASELINE.md + BENCH/scaling.json.
+and writes BENCH/scaling_run.md + BENCH/scaling_run.json (the curated
+multi-day consolidation lives in BENCH/BASELINE.md + BENCH/scaling.json
+and is not overwritten by re-runs).
 
 Measurement discipline on this shared host (other tenants produce a
 fluctuating 8-20 load average of background CPU):
@@ -77,10 +79,11 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
 
 def main():
-    # scaling runs on the bigger synthetic fixture (~500k turns incl. the
+    # scaling runs on a bigger synthetic fixture (~2M turns incl. the
     # 10^4-turn skew conversation): at sf0.1 the job is overhead-dominated
-    # and no parallelism level can show real scaling
-    sf_dir = os.environ.get("SCALE_SF_DIR", os.path.join(REPO, "fixtures", "sf1"))
+    # and no parallelism level can show real scaling (headline runs used
+    # fixtures/sf16, ~8M turns — see BENCH/BASELINE.md)
+    sf_dir = os.environ.get("SCALE_SF_DIR", os.path.join(REPO, "fixtures", "sf4"))
     levels = [int(x) for x in os.environ.get("SCALE_LEVELS", "2,8,32").split(",")]
     repeats = int(os.environ.get("SCALE_REPEATS", 3))
 
@@ -117,7 +120,7 @@ def main():
         "headline_efficiency": pairs[0]["efficiency"] if pairs else None,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
         json.dump(report, f, indent=1)
 
     level_rows = "\n".join(
@@ -164,7 +167,7 @@ All runs (best-of-{repeats} per level):
 |---|---|---|
 {run_rows}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w") as f:
         f.write(md)
     print(json.dumps({"triples_per_sec": report["triples_per_sec"], "pairs": pairs}))
 
