@@ -104,6 +104,10 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
         "sf": sf_dir,
         "cpus": int(cpus),
         "n_triples": n_triples,
+        # at sf0.1 the job is fixed-cost dominated (~12-16s of driver/JVM
+        # per-job overhead); scale behaviour and peak throughput
+        # (~20.8k triples/s at ~8M turns) are measured in BENCH/BASELINE.md
+        "see_also": "BENCH/BASELINE.md",
     }
     print(json.dumps(result), file=out)
     return result
