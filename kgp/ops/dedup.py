@@ -78,7 +78,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) with shingle Jaccard >= threshold."""
     sh = word_shingles(df, text_col, n).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    # both sides of the self-join read this; checkpoint so shingling +
+    # hashing runs once, not once per side
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g")).localCheckpoint(eager=False)
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "g")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "g")
     return (
@@ -144,6 +146,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # self-joined below — checkpoint so the K-permutation signature
+    # computation runs once
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
