@@ -100,6 +100,47 @@ def build_emissions(tokens: list[str], b_index, i_index) -> np.ndarray:
     return em
 
 
+def _token_row(tok: str, b_index, i_index, o_row: np.ndarray) -> np.ndarray:
+    """Emission row for one token; returns the SHARED o_row object when the
+    token hits neither index (identity test = cheap no-signal check)."""
+    bt, it = b_index.get(tok), i_index.get(tok)
+    if not bt and not it:
+        return o_row
+    row = o_row.copy()
+    for t in bt or ():
+        row[LABEL2ID[f"B-{t}"]] = 2.0
+    for t in it or ():
+        row[LABEL2ID[f"I-{t}"]] = 2.0
+    return row
+
+
+def make_o_row() -> np.ndarray:
+    row = np.full(len(LABELS), NEG, dtype=np.float64)
+    row[LABEL2ID["O"]] = 1.0
+    return row
+
+
+def build_emissions_cached(
+    tokens: list[str], b_index, i_index, cache: dict, o_row: np.ndarray
+) -> tuple[np.ndarray, bool]:
+    """Same matrix as :func:`build_emissions` (row-for-row identical), but
+    per-token rows are memoized in ``cache`` (tokens repeat heavily across
+    turns) and the returned flag says whether ANY token hit the gazetteer.
+    With no hit, every row is the O-row and Viterbi provably decodes to
+    all-O -> zero mentions, so callers skip the DP for that sequence."""
+    rows = []
+    hit = False
+    for tok in tokens:
+        r = cache.get(tok)
+        if r is None:
+            r = _token_row(tok, b_index, i_index, o_row)
+            cache[tok] = r
+        if r is not o_row:
+            hit = True
+        rows.append(r)
+    return np.stack(rows) if rows else np.empty((0, len(LABELS))), hit
+
+
 def transition_matrix() -> np.ndarray:
     """CRF transition scores: I-T reachable only from B-T / I-T (flat BIO)."""
     L = len(LABELS)

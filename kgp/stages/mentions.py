@@ -40,7 +40,14 @@ def detect_mentions(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     tagger: str = "crf",
 ) -> DataFrame:
-    """documents -> mentions(conv_id, turn_idx, start, end, mention, label, mention_id).
+    """turns/documents -> mentions(conv_id, turn_idx, start, end, mention, label, mention_id).
+
+    Input is either the raw transcript/turn table (conv_id, turn_idx,
+    text) — the fast path: the tagger is a NARROW map over turns, no
+    shuffle and no nested-struct Arrow conversion upstream — or an
+    assembled ``documents`` table (exploded back to turns JVM-side).
+    Mentions are keyed by (conv_id, turn_idx) so both inputs are
+    equivalent; document assembly is NOT on the tagger's critical path.
 
     ``surfaces``: [(surface_string, entity_type)] — the tagger's gazetteer.
     ``tagger``: "crf" (emissions + Viterbi + BIO decode, the reference's
@@ -54,23 +61,41 @@ def detect_mentions(
     if tagger not in ("crf", "biaffine"):
         raise ValueError(f"unknown tagger {tagger}")
 
+    if "turns" in documents.columns:  # assembled documents -> flat turns
+        turns = documents.select(
+            "conv_id", F.explode("turns").alias("t")
+        ).select("conv_id", F.col("t.turn_idx").alias("turn_idx"), F.col("t.text").alias("text"))
+    else:
+        turns = documents.select("conv_id", "turn_idx", "text")
+
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgp.functions.surrogate import build_emissions_cached, make_o_row
+
         b_index, i_index = params_bc.value
+        o_row = make_o_row()
+        row_cache: dict = {}  # token -> emission row; lives for the task
         for pdf in batches:
             conv_ids, turn_idxs, token_lists = [], [], []
-            for conv_id, turns in zip(pdf["conv_id"], pdf["turns"]):
-                for t in turns:
-                    toks = tokenize(t["text"])[:max_len]  # truncation, P5 analogue
-                    if toks:
-                        conv_ids.append(conv_id)
-                        turn_idxs.append(t["turn_idx"])
-                        token_lists.append(toks)
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                toks = tokenize(text)[:max_len]  # truncation, P5 analogue
+                if toks:
+                    conv_ids.append(conv_id)
+                    turn_idxs.append(turn_idx)
+                    token_lists.append(toks)
             if tagger == "crf":
-                ems = [build_emissions(toks, b_index, i_index) for toks in token_lists]
+                # decode only sequences with >=1 gazetteer hit: a no-hit
+                # sequence has all-O emissions, whose Viterbi path is all-O
+                # and decodes to zero spans (see build_emissions_cached)
+                ems, hit_idx = [], []
+                for i, toks in enumerate(token_lists):
+                    em, hit = build_emissions_cached(toks, b_index, i_index, row_cache, o_row)
+                    if hit:
+                        ems.append(em)
+                        hit_idx.append(i)
                 paths = batch_viterbi(ems)
-                span_lists = [
-                    bio_decode([LABELS[i] for i in path]) for path in paths
-                ]
+                span_lists = [[] for _ in token_lists]
+                for i, path in zip(hit_idx, paths):
+                    span_lists[i] = bio_decode([LABELS[j] for j in path])
             else:
                 from kgp.functions.encoding import detect_spans_biaffine
 
@@ -88,7 +113,7 @@ def detect_mentions(
                     out["label"].append(label)
             yield pd.DataFrame(out)
 
-    raw = documents.select("conv_id", "turns").mapInPandas(tag, schema=MENTION_SCHEMA)
+    raw = turns.mapInPandas(tag, schema=MENTION_SCHEMA)
     return raw.withColumn(
         "mention_id", spark_stable_id_expr("conv_id", "turn_idx", "start", "end")
     )

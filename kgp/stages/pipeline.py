@@ -56,7 +56,10 @@ def run_pipeline(
     # single-consumer stages stay lazy so Spark fuses them into their
     # consumer's job — fewer serial barriers, shorter critical path.
     documents = assemble_documents(transcripts, cfg)
-    mentions = detect_mentions(spark, documents, model.surfaces, cfg).localCheckpoint()
+    # tagger input is raw turns (narrow map, no shuffle): mentions are
+    # keyed (conv_id, turn_idx), so document assembly is a sibling
+    # deliverable, not an upstream dependency of mention detection
+    mentions = detect_mentions(spark, transcripts, model.surfaces, cfg).localCheckpoint()
     turn_tokens = tokenize_turns(transcripts)
 
     relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)

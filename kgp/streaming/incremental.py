@@ -51,8 +51,7 @@ def incremental_triples(
         if batch_df.isEmpty():
             return
         transcripts = batch_df.localCheckpoint()
-        documents = assemble_documents(transcripts, cfg)
-        mentions = detect_mentions(spark, documents, model.surfaces, cfg).localCheckpoint()
+        mentions = detect_mentions(spark, transcripts, model.surfaces, cfg).localCheckpoint()
         relations = classify_relations(
             re_pairs(mentions, cfg), tokenize_turns(transcripts), cfg
         )
