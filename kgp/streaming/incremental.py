@@ -36,7 +36,6 @@ def incremental_triples(
     Returns the finished StreamingQuery (Trigger.AvailableNow drains all
     pending input then stops — the incremental-batch pattern).
     """
-    from kgp.stages.assemble import assemble_documents
     from kgp.stages.coref import cluster_unionfind, positive_edges, score_coref_pairs
     from kgp.stages.linking import cluster_surfaces, link_clusters
     from kgp.stages.mentions import detect_mentions, tokenize_turns
