@@ -184,16 +184,18 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    from kgp.ops.dedup import simhash64
+    from kgp.ops.dedup import simhash60
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash60(_t(spark, sf_dir, "documents"))
 
 
 def _q_dedup_embedding(spark, sf_dir):
     from kgp.ops.dedup import embedding_cosine_dups
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_cosine_dups(emb, threshold=0.4)
+    # exact path opted in explicitly: this query IS the bounded-input
+    # oracle baseline; the LSH default is certified by dedup_embedding_lsh
+    return embedding_cosine_dups(emb, threshold=0.4, lsh_planes=0)
 
 
 def _q_ann_topk(spark, sf_dir):

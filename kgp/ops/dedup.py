@@ -14,9 +14,10 @@ All variants are pure DataFrame dataflow designed for the 100 TB regime:
   produces candidate buckets and a self-join within buckets yields pairs.
   At scale this replaces the quadratic shingle join: candidates are only
   pairs agreeing on a full band.
-- :func:`simhash64` — 64-bit SimHash per document (bitwise majority over
-  token hashes); near-dups differ in few bits. Hamming-band join provided
-  via 4x16-bit chunk equality (any chunk equal -> candidate).
+- :func:`simhash60` — 60-bit SimHash per document (bitwise majority over
+  token hashes; 60 bits = the md5 15-hex-digit prefix both engines can
+  compute identically). Near-dups differ in few bits; a Hamming-band join
+  is 4x15-bit chunk equality (any chunk equal -> candidate).
 
 Shingle/token hashes use md5-prefix integers (``conv(substr(md5(g),1,15),
 16,10)``) — chosen because the SAME value is computable in ANSI SQL
@@ -159,8 +160,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from whitespace tokens.
+def simhash60(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document from whitespace tokens.
+
+    60 (not 64) bits: token hashes are the md5 15-hex-digit prefix
+    (`_md5_int`), the widest prefix whose value is computable identically
+    in Spark builtins and ANSI SQL without signed-64 overflow.
 
     bit_j(doc) = 1 if sum over distinct tokens of sign(bit_j(h(token)))>0.
     Pure expression dataflow: explode tokens -> per-bit +/-1 via bitwise
@@ -196,7 +201,7 @@ def embedding_cosine_dups(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    lsh_planes: int = 0,
+    lsh_planes: int = 8,
     lsh_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -207,9 +212,11 @@ def embedding_cosine_dups(
     with ``a_id < b_id``):
 
     - ``lsh_planes == 0`` — exact all-pairs (broadcast nested-loop on the
-      smaller side). O(N²): the correctness baseline and the oracle-checked
-      path; only for bounded inputs.
-    - ``lsh_planes > 0`` — hyperplane-LSH blocking (same sign-pattern
+      smaller side). O(N²): the correctness baseline, OPT-IN ONLY for
+      oracle-checked bounded inputs — calling it on a large table is a
+      cross-product explosion by construction.
+    - ``lsh_planes > 0`` (the DEFAULT) — hyperplane-LSH blocking (same
+      sign-pattern
       bucketing as kgp.ops.similarity.cosine_topk_lsh): pairs are only
       compared within a shared bucket of one of ``lsh_tables`` independent
       tables, an equi-join on the bucket id. Near-identical vectors

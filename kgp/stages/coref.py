@@ -72,7 +72,12 @@ def score_coref_pairs(
         # surfaces come from a closed vocabulary, so distinct (a, b) pairs
         # are few relative to pair rows; memoize across batches (the memo
         # lives for the Python worker's lifetime, bounded by vocab²·density).
-        # Keyed by broadcast id: another pipeline's model must not hit it.
+        # Keyed by broadcast id: another pipeline's model must not hit it —
+        # and ONLY the active model's memo is retained, so long-lived reused
+        # workers (incremental foreachBatch runs a fresh broadcast per
+        # microbatch) don't accumulate one dict per retired model.
+        if model_key not in _SCORER_MEMO:
+            _SCORER_MEMO.clear()
         memo: dict = _SCORER_MEMO.setdefault(model_key, {})
         out = []
         for x, y in zip(a, b):
@@ -92,7 +97,11 @@ def score_coref_pairs(
     scored_dim = distinct.withColumn(
         "coref_score", coref_scorer("a_mention", "b_mention")
     )
-    return pairs.join(F.broadcast(scored_dim), ["a_mention", "b_mention"])
+    # no forced broadcast: the scored dim is vocab-bounded and AQE picks a
+    # broadcast join when it fits, but an open surface vocabulary must be
+    # able to degrade to a shuffled join instead of failing a hard-hinted
+    # broadcast build
+    return pairs.join(scored_dim, ["a_mention", "b_mention"])
 
 
 def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -107,7 +116,10 @@ def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 
 
 def cluster_unionfind(
-    mentions: DataFrame, edges: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+    mentions: DataFrame,
+    edges: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Bucketed per-conversation union-find (cogroup on a conv_id hash
     bucket).
@@ -122,8 +134,14 @@ def cluster_unionfind(
     mentions on average; the salted hash spreads hot conversations'
     *pairs* upstream, and a single conversation's mentions always fit —
     same argument as the per-conv variant).
+
+    Per-task memory is O(|mentions| / n_buckets) — it grows with input at
+    a fixed bucket count, so ``n_buckets`` (default ``cfg.cc_buckets``)
+    should scale with expected input size; beyond what one task's pandas
+    frame can hold, :func:`cluster_hashmin` is the required path (no task
+    ever holds a whole bucket or component there).
     """
-    nb = cfg.cc_buckets
+    nb = n_buckets or cfg.cc_buckets
 
     def uf(key, mention_pdfs: pd.DataFrame, edge_pdfs: pd.DataFrame) -> pd.DataFrame:
         parent: dict = {}

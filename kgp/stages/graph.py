@@ -30,10 +30,53 @@ from pyspark.sql.window import Window
 EDGE_SCHEMA = "h long, r int, t long"
 
 
-def _dense_ids(df: DataFrame, col: str, out: str) -> DataFrame:
-    """Distinct values -> contiguous ids 0..n-1 in sorted order (stable)."""
-    w = Window.orderBy(col)
-    return df.select(col).distinct().withColumn(out, F.row_number().over(w) - 1)
+def _dense_ids(df: DataFrame, col: str, out: str, num_parts: int | None = None) -> DataFrame:
+    """Distinct values -> contiguous ids 0..n-1 in sorted order (stable).
+
+    Two-phase distributed assignment — never a global single-partition
+    window (which would funnel the whole key set through ONE task at
+    scale):
+
+    1. range-partition the distinct key set (partition p holds keys all
+       ordered before partition p+1's; RangePartitioner assigns ascending
+       ranges to ascending partition ids) and pin the partitioning with a
+       localCheckpoint so phases 2 and 3 see identical placement;
+    2. count rows per partition and collect the TINY (<= num_parts rows)
+       count table to the driver to compute cumulative offsets;
+    3. number partition-locally: id = offset[pid] + row_number(within pid
+       ordered by key) - 1 via a Window partitioned ON the partition id.
+
+    Output is byte-identical to the old global-window form (global sorted
+    order, ids 0..n-1) but every phase is parallel.
+    """
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(num_parts, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        int(r["_pid"]): int(r["c"])
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    rows, acc = [], 0
+    for pid in sorted(counts):
+        rows.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(rows, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        keyed.join(F.broadcast(off), "_pid")
+        # int keeps the historical schema (ids are dictionary-bounded, like
+        # the reference's remap files); switch to long if a dictionary ever
+        # nears 2^31 entries
+        .withColumn(out, (F.col("_off") + F.row_number().over(w) - 1).cast("int"))
+        .drop("_pid", "_off")
+    )
 
 
 def entity_ids(triples: DataFrame) -> DataFrame:

@@ -70,9 +70,9 @@ def test_minhash_signature_matches_python(spark, docs):
 
 
 def test_simhash_near_dups_close(docs):
-    from kgp.ops.dedup import simhash64
+    from kgp.ops.dedup import simhash60
 
-    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    h = {r["doc_id"]: r["simhash"] for r in simhash60(docs).collect()}
     assert h[0] == h[1]
     d_near = bin(h[0] ^ h[2]).count("1")
     d_far = bin(h[0] ^ h[3]).count("1")
@@ -205,7 +205,7 @@ def test_embedding_cosine_dups_exact_and_lsh(spark):
     rows.append((11, [float(x) for x in base[3] + 0.01 * rng.standard_normal(16)]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
-    exact = embedding_cosine_dups(emb, threshold=0.95)
+    exact = embedding_cosine_dups(emb, threshold=0.95, lsh_planes=0)
     got = {(r["a_id"], r["b_id"]) for r in exact.collect()}
     assert got == {(0, 10), (3, 11)}
 
