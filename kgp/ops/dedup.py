@@ -75,13 +75,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+    on_drop=None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) with shingle Jaccard >= threshold."""
+    """Candidate near-dup pairs (doc_a < doc_b) with shingle Jaccard >= threshold.
+
+    ``max_shingle_df`` caps the posting-list self-join: a shingle appearing
+    in more than that many documents (a stop-shingle like "the quick
+    brown") would alone produce a quadratic candidate set inside one join
+    key, so such shingles are dropped from CANDIDATE GENERATION (the join),
+    not from the Jaccard denominators — overlap counts for pairs sharing a
+    dropped shingle undercount by at most the number of shared hot
+    shingles, i.e. the cap is conservative (it can only miss borderline
+    pairs, never invent them). Pass ``None`` to disable. The cap is never
+    silent: ``on_drop(n_hot_shingles)`` is invoked (one small extra job)
+    whenever a callable is supplied; callers that must account for drops
+    in lineage pass their metrics hook here.
+    """
     sh = word_shingles(df, text_col, n).withColumn("n_sh", F.size("shingles"))
     # both sides of the self-join read this; checkpoint so shingling +
     # hashing runs once, not once per side
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g")).localCheckpoint(eager=False)
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("g")
+        )
+        if on_drop is not None:
+            on_drop(hot.count())
+        ex = ex.join(hot, "g", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "g")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "g")
     return (
@@ -119,11 +147,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     text_col: str = "text",
+    max_bucket_size: int | None = 1000,
+    on_drop=None,
 ) -> DataFrame:
     """Candidate pairs agreeing on at least one full LSH band.
 
     signature length k split into ``bands`` rows of k/bands; bucket key =
     (band_idx, band slice). Output: distinct (doc_a < doc_b).
+
+    ``max_bucket_size`` bounds the within-bucket self-join: an adversarial
+    bucket of B docs yields B²/2 candidates in ONE task's join key, so
+    buckets larger than the cap are skipped entirely (their members were
+    going to be caught by a different, smaller band bucket if genuinely
+    similar; a >cap bucket is overwhelmingly a degenerate/boilerplate
+    cluster). ``None`` disables; ``on_drop(n_dropped_buckets)`` reports
+    the cap when a callable is supplied — caps are never silent.
     """
     assert k % bands == 0
     r = k // bands
@@ -150,6 +188,16 @@ def minhash_lsh_pairs(
     # self-joined below — checkpoint so the K-permutation signature
     # computation runs once
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "key")
+        )
+        if on_drop is not None:
+            on_drop(big.count())
+        banded = banded.join(big, ["band", "key"], "left_anti")
     a = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (

@@ -222,3 +222,56 @@ def test_embedding_cosine_dups_exact_and_lsh(spark):
     lsh = embedding_cosine_dups(emb, threshold=0.95, lsh_planes=6, lsh_tables=6, dim=16)
     got_lsh = {(r["a_id"], r["b_id"]) for r in lsh.collect()}
     assert got_lsh == {(0, 10), (3, 11)}
+
+
+def test_hot_shingle_cap_bounds_ngram_join(spark):
+    """One ubiquitous shingle must not create a quadratic candidate set:
+    with the cap binding, pairs related ONLY through the stop-shingle
+    disappear while genuine near-dups (many shared non-hot shingles)
+    survive with their Jaccard reduced by at most the shared-hot count."""
+    from kgp.ops.dedup import ngram_jaccard_pairs
+
+    # boilerplate prefix: 5 of each doc's 3-shingles appear in all 20 docs
+    stop = "as discussed above please"
+    rows = [(i, f"{stop} unique body number {i} with text {i * 7}") for i in range(20)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))  # near dup of 100
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dropped = []
+    capped = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_shingle_df=10, on_drop=dropped.append
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # boilerplate-only docs share just the 2 hot shingles -> no pair survives
+    assert not any(a < 100 and b < 100 for a, b in got)
+    assert (100, 101) in got
+    assert dropped == [5]
+
+    # uncapped control: the stop-shingle alone links nothing at this
+    # threshold either (2 shared / ~12 total), but the JOIN fan-out is
+    # 20^2/2 rows per hot shingle — the cap exists to prevent that work
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=None)
+    assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+
+
+def test_minhash_bucket_cap(spark):
+    """An adversarial all-identical corpus lands every doc in the same
+    bucket of every band; the cap skips those buckets (and reports them),
+    keeping the within-bucket join bounded."""
+    from kgp.ops.dedup import minhash_lsh_pairs
+
+    rows = [(i, "identical boilerplate text body here") for i in range(30)]
+    rows += [(200, "some other document entirely about spark"),
+             (201, "some other document entirely about spark")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dropped = []
+    capped = minhash_lsh_pairs(docs, k=16, bands=4, max_bucket_size=10, on_drop=dropped.append)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (200, 201) in got
+    assert not any(a < 100 and b < 100 for a, b in got)  # giant cluster skipped
+    assert dropped and dropped[0] >= 4  # >= one oversized bucket per band
+
+    full = minhash_lsh_pairs(docs, k=16, bands=4, max_bucket_size=None)
+    assert full.count() == 30 * 29 // 2 + 1  # the quadratic set the cap avoids
