@@ -209,6 +209,39 @@ def _q_ann_topk(spark, sf_dir):
     return out.select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path of embedding dedup (hyperplane-LSH blocking) certified
+    against a full SQL twin that computes the SAME buckets."""
+    from kgp.ops.dedup import embedding_cosine_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_cosine_dups(
+        emb, threshold=0.4, lsh_planes=6, lsh_tables=4, dim=64, seed=42
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from kgp.ops.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_lsh(emb, q, k=10, n_planes=6, n_tables=4, dim=64, seed=42)
+    return out.select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from kgp.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4, lloyd_rounds=1)
+    return out.select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_lang_id(spark, sf_dir):
     from kgp.ops.textstats import lang_id
 
@@ -313,7 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_cosine_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_token_counts": _q_token_counts,
@@ -349,7 +385,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_embedding_cosine": oracles.embedding_dups_sql(0.4),
+        "dedup_embedding_lsh": oracles.embedding_lsh_sql(0.4, 6, 4, 64, 42),
         "ann_cosine_topk": oracles.ann_topk_sql(5, 10),
+        "ann_cosine_lsh": oracles.ann_lsh_sql(5, 10, 6, 4, 64, 42),
+        "ann_ivf": oracles.ann_ivf_sql(5, 10, 16, 4, 64),
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_sql(),
         "text_token_counts": oracles.token_counts_sql(),

@@ -115,23 +115,10 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def ivf_topk(
-    items: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF probe: centroids = deterministic sample (lowest vec_ids), items
-    assigned to nearest centroid, queries scan only their nprobe nearest
-    centroid lists."""
-    cents = (
-        items.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-    )
+def _assign_nearest(items: DataFrame, cents: DataFrame) -> DataFrame:
+    """Each item -> its nearest centroid by cosine (ties -> lowest c_id)."""
     assign_w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    assigned = (
+    return (
         items.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -144,6 +131,45 @@ def ivf_topk(
         .where(F.col("rk") == 1)
         .select("vec_id", "embedding", "c_id")
     )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    lloyd_rounds: int = 1,
+) -> DataFrame:
+    """IVF probe: deterministic seed centroids (the lowest vec_ids),
+    refined by ``lloyd_rounds`` rounds of Lloyd's algorithm (assign ->
+    elementwise-mean recompute), items assigned to their final nearest
+    centroid, queries scanning only their ``nprobe`` nearest centroid
+    lists.
+
+    The recomputed centroid means are rounded to 6 decimals: a float sum's
+    value depends on accumulation order, which Spark does not fix across
+    partitionings — rounding far below the data's signal level (but far
+    above the ~1e-13 order jitter) makes the refined centroids, and hence
+    every downstream assignment, bit-reproducible run to run (and
+    reproducible in the ANSI-SQL oracle twin).
+    """
+    cents = (
+        items.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    )
+    for _ in range(lloyd_rounds):
+        assigned = _assign_nearest(items, cents)
+        cents = (
+            assigned.select("c_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("c_id", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("c_emb"))
+        )
+    assigned = _assign_nearest(items, cents)
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
     probes = (
         queries.crossJoin(F.broadcast(cents))

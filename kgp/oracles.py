@@ -289,3 +289,134 @@ GROUP BY o.o_orderkey
 ORDER BY revenue DESC, o_orderkey
 LIMIT {limit}
 """
+
+
+# ---------------------------------------------------------------------------
+# scale-path certification oracles (hyperplane-LSH / IVF twins)
+# ---------------------------------------------------------------------------
+
+_DOT_AB = (
+    "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+)
+
+
+def _nrm(col: str) -> str:
+    return f"sqrt(list_aggregate(list_transform({col}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+
+
+def _planes_values(n_planes: int, n_tables: int, dim: int, seed: int) -> str:
+    """VALUES rows (tbl, j, plane-vector) for the SAME hyperplanes the
+    Spark operators generate (kgp.ops.similarity._hyperplanes); float
+    literals repr-round-trip so both engines see identical doubles."""
+    from kgp.ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        for j, p in enumerate(planes):
+            vec = ", ".join(repr(float(v)) for v in p)
+            rows.append(f"({t}, {j}, [{vec}]::DOUBLE[])")
+    return ",\n  ".join(rows)
+
+
+def _bucket_cte(src: str, id_col: str, out_id: str, emb_col: str = "embedding") -> str:
+    """Per-(row, table) sign-pattern bucket id over the ``planes`` CTE."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, len(e.{emb_col}) + 1), "
+        f"i -> e.{emb_col}[i]::DOUBLE * pl.p[i]), 'sum')"
+    )
+    return f"""SELECT e.{id_col} AS {out_id}, pl.tbl,
+        sum(CASE WHEN {dot} >= 0 THEN (1::BIGINT << pl.j) ELSE 0 END) AS bucket
+ FROM {src} e, planes pl GROUP BY e.{id_col}, pl.tbl"""
+
+
+def embedding_lsh_sql(
+    threshold: float, n_planes: int, n_tables: int, dim: int, seed: int
+) -> str:
+    return f"""
+WITH planes AS (SELECT tbl, j, col2 AS p FROM (VALUES
+  {_planes_values(n_planes, n_tables, dim, seed)}) t(tbl, j, col2)),
+ bk AS ({_bucket_cte('embeddings', 'vec_id', 'vec_id')}),
+ cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                               AND x.vec_id < y.vec_id)
+SELECT cand.a_id, cand.b_id,
+       {_DOT_AB} / ({_nrm('a.embedding')} * {_nrm('b.embedding')}) AS cos
+FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+          JOIN embeddings b ON b.vec_id = cand.b_id
+WHERE {_DOT_AB} / ({_nrm('a.embedding')} * {_nrm('b.embedding')}) >= {threshold}
+"""
+
+
+def ann_lsh_sql(
+    n_queries: int, k: int, n_planes: int, n_tables: int, dim: int, seed: int
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), 'sum')"
+    )
+    return f"""
+WITH planes AS (SELECT tbl, j, col2 AS p FROM (VALUES
+  {_planes_values(n_planes, n_tables, dim, seed)}) t(tbl, j, col2)),
+ qset AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+ ib AS ({_bucket_cte('embeddings', 'vec_id', 'vec_id')}),
+ qb AS ({_bucket_cte('qset', 'q_id', 'q_id', 'q_emb')}),
+ cand AS (SELECT DISTINCT qb.q_id, ib.vec_id
+          FROM ib JOIN qb ON ib.tbl = qb.tbl AND ib.bucket = qb.bucket),
+ scored AS (SELECT c.q_id, c.vec_id,
+                   {dot} / ({_nrm('e.embedding')} * {_nrm('q.q_emb')}) AS cos
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                        JOIN qset q ON q.q_id = c.q_id)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def ann_ivf_sql(
+    n_queries: int, k: int, n_centroids: int, nprobe: int, dim: int
+) -> str:
+    """One Lloyd round, mirroring kgp.ops.similarity.ivf_topk: seed
+    centroids = lowest vec_ids, assign, elementwise mean rounded to 6 dp
+    (kills float sum-order jitter on both engines), reassign, probe."""
+    sim = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * c.c_emb[i]), 'sum')"
+        f" / ({_nrm('e.embedding')} * {_nrm('c.c_emb')})"
+    )
+    qsim = (
+        "list_aggregate(list_transform(range(1, len(q.q_emb) + 1), "
+        "i -> q.q_emb[i]::DOUBLE * c.c_emb[i]), 'sum')"
+        f" / ({_nrm('q.q_emb')} * {_nrm('c.c_emb')})"
+    )
+    dot = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), 'sum')"
+    )
+    return f"""
+WITH c0 AS (SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS c_emb
+            FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+ a0 AS (SELECT vec_id, embedding, c_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.c_id) AS rk
+        FROM embeddings e, c0 c) WHERE rk = 1),
+ c1 AS (SELECT c_id, list(m ORDER BY pos) AS c_emb FROM (
+        SELECT c_id, r.range AS pos, round(avg(embedding[r.range]::DOUBLE), 6) AS m
+        FROM a0, range(1, {dim} + 1) r GROUP BY c_id, r.range) GROUP BY c_id),
+ a1 AS (SELECT vec_id, embedding, c_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.c_id) AS rk
+        FROM embeddings e, c1 c) WHERE rk = 1),
+ qset AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+ probes AS (SELECT q_id, q_emb, c_id FROM (
+        SELECT q.q_id, q.q_emb, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY {qsim} DESC, c.c_id) AS rk
+        FROM qset q, c1 c) WHERE rk <= {nprobe}),
+ scored AS (SELECT q.q_id, e.vec_id,
+                   {dot} / ({_nrm('e.embedding')} * {_nrm('q.q_emb')}) AS cos
+            FROM a1 e JOIN probes q ON e.c_id = q.c_id)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
