@@ -115,6 +115,18 @@ def _q_links(spark, sf_dir):
     return _pipeline_outputs(spark, sf_dir)["links"].select("cluster_id", "entity_id", "score")
 
 
+def _q_el_sweep(spark, sf_dir):
+    """E2: one-pass EL threshold sweep over the live pipeline's candidate
+    table, evaluated against the gold link set (reference eval_el.py's
+    per-θ table). The oracle runs the same sweep over the materialized
+    GOLD candidates — so candidate-table parity is checked transitively."""
+    from kgp.stages.linking import threshold_sweep
+
+    cand = _pipeline_outputs(spark, sf_dir)["link_candidates"]
+    gold = _gold(spark, sf_dir, "gold_links")
+    return threshold_sweep(cand, gold)
+
+
 def _q_triples(spark, sf_dir):
     t = _pipeline_outputs(spark, sf_dir)["triples"]
     return t.select(
@@ -335,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": _q_relations,
         "kg_clusters": _q_clusters,
         "kg_links": _q_links,
+        "el_threshold_sweep": _q_el_sweep,
         "kg_triples": _q_triples,
         "kg_edges": _q_edges,
         "kg_re_pairs": _q_re_pairs,
@@ -361,6 +374,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _el_thetas():
+    from kgp.stages.linking import EL_SWEEP_THETAS
+
+    return EL_SWEEP_THETAS
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = ensure_fixtures(SF01)
 
@@ -375,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": oracles.gold_sql(g("gold_relations")),
         "kg_clusters": oracles.gold_sql(g("gold_clusters")),
         "kg_links": oracles.gold_sql(g("gold_links")),
+        "el_threshold_sweep": oracles.el_threshold_sweep_sql(
+            g("gold_candidates"), g("gold_links"), _el_thetas()
+        ),
         "kg_triples": oracles.gold_sql(g("gold_triples")),
         "kg_edges": oracles.gold_sql(g("gold_edges")),
         "kg_re_pairs": oracles.re_pairs_sql(g("gold_mentions")),

@@ -89,6 +89,15 @@ _GOLD_SCHEMAS = {
     "gold_links": pa.schema(
         [("cluster_id", pa.int64()), ("entity_id", pa.string()), ("score", pa.float64())]
     ),
+    "gold_candidates": pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("surface", pa.string()),
+            ("alias", pa.string()),
+            ("entity_id", pa.string()),
+            ("score", pa.float64()),
+        ]
+    ),
     "gold_triples": pa.schema(
         [
             ("conv_id", pa.string()),
@@ -134,6 +143,9 @@ def ensure_fixtures(sf_dir: str) -> str:
         _write(gold_paths["gold_relations"], gold["relations"], _GOLD_SCHEMAS["gold_relations"])
         _write(gold_paths["gold_clusters"], gold["clusters"], _GOLD_SCHEMAS["gold_clusters"])
         _write(gold_paths["gold_links"], gold["links"], _GOLD_SCHEMAS["gold_links"])
+        _write(
+            gold_paths["gold_candidates"], gold["candidates"], _GOLD_SCHEMAS["gold_candidates"]
+        )
         triples = [
             {**t, "src_turns": ",".join(str(x) for x in t["src_turns"])}
             for t in gold["triples"]

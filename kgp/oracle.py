@@ -125,7 +125,11 @@ def oracle_clusters(
 
 def oracle_links(
     mentions: list[dict], clusters: list[dict], entities: list[Entity], cfg: PipelineConfig
-) -> list[dict]:
+) -> tuple[list[dict], list[dict]]:
+    """-> (links, candidates) with the SAME IDF-weighted recall ranking as
+    kgp.stages.linking.link_clusters: w(g) = max(1, 16 - floor(log2 df))
+    over distinct-alias gram document frequencies (integer weights ->
+    exact rational scores, no float-order drift between engines)."""
     cluster_of = {c["mention_id"]: c["cluster_id"] for c in clusters}
     surfaces_by_cluster = defaultdict(set)
     for m in mentions:
@@ -133,7 +137,17 @@ def oracle_links(
     aliases = [(r["alias"].strip().lower(), r["entity_id"]) for r in alias_dict_rows(entities)]
     alias_exact = dict(aliases)
     alias_grams = [(a, eid, char_ngrams(a, cfg.ngram_size)) for a, eid in aliases]
-    links = []
+    dfreq: dict = defaultdict(int)
+    for a in sorted({a for a, _ in aliases}):
+        for g in char_ngrams(a, cfg.ngram_size):
+            dfreq[g] += 1
+
+    def w(g):
+        d = dfreq.get(g)
+        return 16 if d is None else max(1, 16 - (d.bit_length() - 1))
+
+    tw_a = {a: sum(w(g) for g in char_ngrams(a, cfg.ngram_size)) for a, _ in aliases}
+    links, all_candidates = [], []
     for cluster_id in sorted(surfaces_by_cluster):
         candidates = []
         for surface in sorted(surfaces_by_cluster[cluster_id]):
@@ -141,21 +155,32 @@ def oracle_links(
                 candidates.append((1.0, alias_exact[surface], surface, surface))
                 continue
             sg = char_ngrams(surface, cfg.ngram_size)
+            tw_s = sum(w(g) for g in sg)
             scored = []
             for alias, eid, ag in alias_grams:
-                ov = len(sg & ag)
-                if ov:
-                    scored.append((ov / (len(sg) + len(ag) - ov), eid, alias))
+                ov_w = sum(w(g) for g in sg & ag)
+                if ov_w:
+                    scored.append((ov_w / (tw_s + tw_a[alias] - ov_w), eid, alias))
             scored.sort(key=lambda x: (-x[0], x[1], x[2]))
             for rs, eid, alias in scored[: cfg.recall_top_k]:
                 score = jaccard(surface, alias, cfg.ngram_size)
                 if score > cfg.link_threshold:
                     candidates.append((score, eid, surface, alias))
+        for score, eid, surface, alias in candidates:
+            all_candidates.append(
+                {
+                    "cluster_id": cluster_id,
+                    "surface": surface,
+                    "alias": alias,
+                    "entity_id": eid,
+                    "score": score,
+                }
+            )
         if candidates:
             candidates.sort(key=lambda x: (-x[0], x[1], x[2], x[3]))
             score, eid, _, _ = candidates[0]
             links.append({"cluster_id": cluster_id, "entity_id": eid, "score": score})
-    return links
+    return links, all_candidates
 
 
 def oracle_triples(relations: list[dict], clusters: list[dict], links: list[dict]) -> list[dict]:
@@ -195,7 +220,7 @@ def oracle_pipeline(
     mentions = oracle_mentions(rows, entities)
     relations = oracle_relations(rows, mentions)
     clusters = oracle_clusters(mentions, surface_groups, cfg)
-    links = oracle_links(mentions, clusters, entities, cfg)
+    links, candidates = oracle_links(mentions, clusters, entities, cfg)
     triples = oracle_triples(relations, clusters, links)
     edges = oracle_edges(triples)
     return {
@@ -203,6 +228,7 @@ def oracle_pipeline(
         "relations": relations,
         "clusters": clusters,
         "links": links,
+        "candidates": candidates,
         "triples": triples,
         "edges": edges,
     }

@@ -420,3 +420,37 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
 WHERE rank <= {k}
 """
+
+
+def el_threshold_sweep_sql(candidates_path: str, links_path: str, thetas) -> str:
+    """Mirrors kgp.stages.linking.threshold_sweep over the materialized
+    gold candidate/link tables (the Spark side sweeps the live pipeline's
+    candidate table — candidate parity is therefore checked too)."""
+    th_rows = ", ".join(f"({float(t)!r})" for t in thetas)
+    return f"""
+WITH th AS (SELECT CAST(col0 AS DOUBLE) AS theta FROM (VALUES {th_rows}) t(col0)),
+ best AS (SELECT cluster_id, entity_id, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                  ORDER BY score DESC, entity_id, surface, alias) AS rk
+        FROM read_parquet('{candidates_path}')) WHERE rk = 1),
+ gold AS (SELECT cluster_id, entity_id FROM read_parquet('{links_path}')),
+ pred AS (SELECT t.theta, b.cluster_id, b.entity_id FROM best b, th t WHERE b.score > t.theta),
+ agg AS (SELECT p.theta, count(*) AS n_pred,
+                sum(CASE WHEN g.entity_id IS NOT NULL THEN 1 ELSE 0 END) AS tp
+         FROM pred p LEFT JOIN gold g
+              ON p.cluster_id = g.cluster_id AND p.entity_id = g.entity_id
+         GROUP BY p.theta),
+ ng AS (SELECT count(*) AS n_gold FROM gold),
+ base AS (SELECT t.theta, CAST(coalesce(a.tp, 0) AS BIGINT) AS tp,
+                 CAST(coalesce(a.n_pred, 0) AS BIGINT) AS n_pred,
+                 CAST(ng.n_gold AS BIGINT) AS n_gold
+          FROM th t LEFT JOIN agg a ON t.theta = a.theta, ng),
+ pr AS (SELECT *,
+               CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END AS precision,
+               CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END AS recall
+        FROM base)
+SELECT theta, tp, n_pred, n_gold, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+FROM pr
+"""

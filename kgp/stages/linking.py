@@ -11,10 +11,15 @@ north_rule names:
    parity with prepare_el_index.py:27-29 is carried in the dictionary.
 2. **Recall join (J1)** — surfaces without an exact hit are exploded into
    distinct char-ngram shingles and hash-joined against a broadcast
-   posting table (ngram -> alias); overlap counts aggregate per
-   (surface, alias) into a Jaccard recall score (the BM25 stand-in), and a
-   rank window keeps top-k per surface (W2, reference topk=128 ->
-   cfg.recall_top_k).
+   posting table (ngram -> alias); gram overlaps aggregate per
+   (surface, alias) into an IDF-WEIGHTED Jaccard recall score (the BM25
+   stand-in: matching a rare gram counts up to 16x a ubiquitous one, so a
+   skewed dictionary's stop-grams stop dominating the ranking the way
+   ES's BM25 IDF term discounts them in eval_el.py:162-190), and a rank
+   window keeps top-k per surface (W2, reference topk=128 ->
+   cfg.recall_top_k). Weights are INTEGERS (w = max(1, 16 - floor(log2
+   df))), so every score is an exact rational — ranking can't drift with
+   float summation order between engine and oracle.
 3. **Score pass (F6) + threshold (P14)** — a batched pandas UDF
    (surrogate cross-encoder) rescores the survivors; ``score > θ`` keeps a
    candidate, argmax per cluster with deterministic tie-break emits the
@@ -96,17 +101,37 @@ def link_clusters(
     misses = surf.join(
         F.broadcast(alias_norm), surf["surface"] == alias_norm["alias"], "left_anti"
     )
-    m_grams = _ngram_explode(misses, "surface", n).select(
-        "surface", F.col("n_grams").alias("n_s"), F.explode("grams").alias("gram")
+    # IDF weights over the alias dictionary's gram space: df(g) = number
+    # of distinct aliases containing gram g; w(g) = max(1, 16 -
+    # floor(log2 df)) (surface grams absent from the dictionary get the
+    # max weight 16). recall_score = weighted Jaccard
+    # ov_w / (tw_s + tw_a - ov_w) over integer weight sums.
+    aliases_u = alias_norm.select("alias").distinct()
+    agrams = _ngram_explode(aliases_u, "alias", n).select(
+        "alias", F.explode("grams").alias("gram")
     )
-    posting = _ngram_explode(alias_norm.distinct(), "alias", n).select(
-        "alias", "entity_id", F.col("n_grams").alias("n_a"), F.explode("grams").alias("gram")
+    wtab = agrams.groupBy("gram").agg(
+        F.greatest(F.lit(1), F.lit(16) - F.floor(F.log2(F.count("*")))).cast("long").alias("w")
+    )
+    aw = agrams.join(F.broadcast(wtab), "gram")
+    tw_a = aw.groupBy("alias").agg(F.sum("w").alias("tw_a"))
+    posting = aw.join(F.broadcast(alias_norm), "alias").join(F.broadcast(tw_a), "alias")
+    m_grams = _ngram_explode(misses, "surface", n).select(
+        "surface", F.explode("grams").alias("gram")
+    )
+    tw_s = (
+        m_grams.join(F.broadcast(wtab), "gram", "left")
+        .groupBy("surface")
+        .agg(F.sum(F.coalesce("w", F.lit(16))).alias("tw_s"))
     )
     overlap = (
         m_grams.join(F.broadcast(posting), "gram")
-        .groupBy("surface", "n_s", "alias", "entity_id", "n_a")
-        .agg(F.count("*").alias("ov"))
-        .withColumn("recall_score", F.col("ov") / (F.col("n_s") + F.col("n_a") - F.col("ov")))
+        .groupBy("surface", "alias", "entity_id", "tw_a")
+        .agg(F.sum("w").alias("ov_w"))
+        .join(tw_s, "surface")
+        .withColumn(
+            "recall_score", F.col("ov_w") / (F.col("tw_s") + F.col("tw_a") - F.col("ov_w"))
+        )
     )
     w = Window.partitionBy("surface").orderBy(
         F.desc("recall_score"), F.asc("entity_id"), F.asc("alias")
@@ -136,3 +161,55 @@ def link_clusters(
         .select("cluster_id", "entity_id", "score")
     )
     return links, candidates
+
+
+EL_SWEEP_THETAS = (0.35, 0.5, 0.65, 0.8, 0.9, 0.95)
+
+
+def threshold_sweep(
+    candidates: DataFrame, gold_links: DataFrame, thetas=EL_SWEEP_THETAS
+) -> DataFrame:
+    """E2: micro P/R/F1 of the final cluster->entity link decision at each
+    threshold θ, in ONE pass over the cached candidate score table
+    (reference eval_el.py:443-455 sweeps θ ∈ {0.9..0.995} re-reading its
+    score file; here the per-cluster argmax is θ-independent, so it is
+    computed once and each θ is a cheap filter + aggregate over it).
+
+    Output: (theta, tp, n_pred, n_gold, precision, recall, f1) — one row
+    per θ, including θ values where nothing is predicted.
+    """
+    spark = candidates.sparkSession
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("entity_id"), F.asc("surface"), F.asc("alias")
+    )
+    best = (
+        candidates.withColumn("rk", F.row_number().over(wc))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", "entity_id", "score")
+    )
+    th = spark.createDataFrame([(float(t),) for t in thetas], "theta double")
+    gold = gold_links.select("cluster_id", F.col("entity_id").alias("g_entity"))
+    pred = (
+        best.crossJoin(F.broadcast(th))
+        .where(F.col("score") > F.col("theta"))
+        .join(gold, "cluster_id", "left")  # gold is unique per cluster: no fanout
+        .withColumn("is_tp", (F.col("entity_id") == F.col("g_entity")).cast("long"))
+    )
+    agg = pred.groupBy("theta").agg(
+        F.count("*").alias("n_pred"), F.sum(F.coalesce("is_tp", F.lit(0))).alias("tp")
+    )
+    n_gold_df = gold.agg(F.count("*").alias("n_gold"))
+    out = (
+        th.join(agg, "theta", "left")
+        .crossJoin(F.broadcast(n_gold_df))
+        .withColumn("tp", F.coalesce("tp", F.lit(0)))
+        .withColumn("n_pred", F.coalesce("n_pred", F.lit(0)))
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    out = out.withColumn("precision", p).withColumn("recall", r)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.select("theta", "tp", "n_pred", "n_gold", "precision", "recall", f1.alias("f1"))

@@ -113,3 +113,42 @@ def test_coref_pairs_banding(spark):
     got = {(r["a_turn_idx"], r["b_turn_idx"]) for r in coref_pairs(m, cfg).collect()}
     want = {(a, b) for a in range(12) for b in range(12) if 0 < b - a <= 3}
     assert got == want
+
+
+def test_idf_recall_ranking_on_skewed_dictionary(spark):
+    """J1's IDF-weighted recall (BM25 stand-in): on a dictionary skewed
+    with 1100 boilerplate '... ventures group' aliases, plain unweighted
+    gram Jaccard ranks a boilerplate alias above the true entity for a
+    surface sharing its RARE head grams; the IDF weighting flips that
+    ranking (verified both by the pure-python formula and by the engine's
+    surviving top-1 candidate)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kgp.config import PipelineConfig
+    from kgp.functions.surrogate import char_ngrams
+    from kgp.stages.linking import link_clusters
+
+    target = "kalzuqir holdings"
+    surface = "kalzuqir ventures group"
+    distractors = [f"q{i} ventures group" for i in range(1100)]
+    aliases = [(target, "E-target")] + [(d, f"E-{i}") for i, d in enumerate(distractors)]
+
+    # the unweighted ranking really is wrong on this dictionary
+    sg = char_ngrams(surface)
+    def unweighted(a):
+        ag = char_ngrams(a)
+        ov = len(sg & ag)
+        return ov / (len(sg) + len(ag) - ov) if ov else 0.0
+    assert unweighted(distractors[0]) > unweighted(target)
+
+    alias_dict = spark.createDataFrame(
+        [(a, a, "c", eid) for a, eid in aliases],
+        "entity_name string, alias string, code string, entity_id string",
+    )
+    surfaces = spark.createDataFrame([(1, surface)], "cluster_id long, surface string")
+    cfg = PipelineConfig(recall_top_k=1, link_threshold=0.2)
+    links, _ = link_clusters(surfaces, alias_dict, cfg)
+    got = links.collect()
+    assert len(got) == 1 and got[0]["entity_id"] == "E-target"
