@@ -98,6 +98,42 @@ def _q_mentions(spark, sf_dir):
     )
 
 
+def _mention_projection(m):
+    return m.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("start").cast("long").alias("start"), F.col("end").cast("long").alias("end"),
+        "mention", "label", "mention_id",
+    )
+
+
+def _q_mentions_biaffine(spark, sf_dir):
+    """F3: the biaffine span-scorer detector behind the same interface,
+    against its own oracle gold (Biaffine/biaffine_utils.py:25-70)."""
+    from kgp.stages.mentions import detect_mentions
+
+    m = detect_mentions(
+        spark, load_transcripts(spark, sf_dir),
+        fixture_model_for(spark, sf_dir).surfaces, CFG, tagger="biaffine",
+    )
+    return _mention_projection(m)
+
+
+def _q_mentions_subtok(spark, sf_dir):
+    """P5/P7 live: tagger with WordPiece-style sub-tokenization + scheme-v2
+    relabel + first-piece collapse; must reproduce the word-level gold
+    exactly (the encode/decode round-trip contract)."""
+    from dataclasses import replace
+
+    from kgp.stages.mentions import detect_mentions
+
+    cfg2 = replace(CFG, label_scheme="v2")
+    m = detect_mentions(
+        spark, load_transcripts(spark, sf_dir),
+        fixture_model_for(spark, sf_dir).surfaces, cfg2,
+    )
+    return _mention_projection(m)
+
+
 def _q_relations(spark, sf_dir):
     r = _pipeline_outputs(spark, sf_dir)["relations"]
     return r.select(
@@ -344,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J1-J3/F6/W2/P14, triples, P16/P17/U1/J8)
         "kg_doc_assembly": _q_doc_assembly,
         "kg_mentions": _q_mentions,
+        "kg_mentions_biaffine": _q_mentions_biaffine,
+        "kg_mentions_subtok": _q_mentions_subtok,
         "kg_relations": _q_relations,
         "kg_clusters": _q_clusters,
         "kg_links": _q_links,
@@ -391,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
             os.path.join(fdir, "transcripts.parquet"), CFG.max_turns_per_doc
         ),
         "kg_mentions": oracles.gold_sql(g("gold_mentions")),
+        "kg_mentions_biaffine": oracles.gold_sql(g("gold_mentions_biaffine")),
+        "kg_mentions_subtok": oracles.gold_sql(g("gold_mentions")),
         "kg_relations": oracles.gold_sql(g("gold_relations")),
         "kg_clusters": oracles.gold_sql(g("gold_clusters")),
         "kg_links": oracles.gold_sql(g("gold_links")),

@@ -109,6 +109,8 @@ _GOLD_SCHEMAS = {
     ),
     "gold_edges": pa.schema([("h", pa.int64()), ("r", pa.int64()), ("t", pa.int64())]),
 }
+# the biaffine detector's gold shares the mention schema
+_GOLD_SCHEMAS["gold_mentions_biaffine"] = _GOLD_SCHEMAS["gold_mentions"]
 
 
 def ensure_fixtures(sf_dir: str) -> str:
@@ -136,10 +138,15 @@ def ensure_fixtures(sf_dir: str) -> str:
     _write(a_path, alias_dict_rows(gaz))
 
     if want_gold:
-        from kgp.oracle import oracle_pipeline
+        from kgp.oracle import oracle_mentions, oracle_pipeline
 
         gold = oracle_pipeline(rows, gaz)
         _write(gold_paths["gold_mentions"], gold["mentions"], _GOLD_SCHEMAS["gold_mentions"])
+        _write(
+            gold_paths["gold_mentions_biaffine"],
+            oracle_mentions(rows, gaz, detector="biaffine"),
+            _GOLD_SCHEMAS["gold_mentions_biaffine"],
+        )
         _write(gold_paths["gold_relations"], gold["relations"], _GOLD_SCHEMAS["gold_relations"])
         _write(gold_paths["gold_clusters"], gold["clusters"], _GOLD_SCHEMAS["gold_clusters"])
         _write(gold_paths["gold_links"], gold["links"], _GOLD_SCHEMAS["gold_links"])

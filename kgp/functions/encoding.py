@@ -47,6 +47,46 @@ def subtoken_labels(word_labels: list[str], n_pieces: list[int], scheme: str = "
     return out
 
 
+def subtokenize(tokens: list[str], max_piece: int = 4) -> tuple[list[str], list[int]]:
+    """WordPiece-style surrogate sub-tokenizer (P5/P7 carrier): words
+    longer than ``max_piece`` chars split into fixed-size pieces with
+    ``##``-prefixed continuations (the reference's BasicTokenizer +
+    WordPiece shape, ner_data_utils.py:376-410, without a learned vocab).
+    Returns (pieces, n_pieces) with ``n_pieces[i]`` = piece count of word
+    i — the alignment every sub-token relabel scheme needs."""
+    pieces: list[str] = []
+    n_pieces: list[int] = []
+    for t in tokens:
+        if len(t) <= max_piece:
+            pieces.append(t)
+            n_pieces.append(1)
+        else:
+            chunks = [t[i : i + max_piece] for i in range(0, len(t), max_piece)]
+            pieces.append(chunks[0])
+            pieces.extend("##" + c for c in chunks[1:])
+            n_pieces.append(len(chunks))
+    return pieces, n_pieces
+
+
+def collapse_subtoken_labels(
+    sub_labels: list[str], n_pieces: list[int], scheme: str = "v1"
+) -> list[str]:
+    """P7 inverse: sub-token label sequence -> word-level labels.
+
+    Each word's label is its FIRST piece's label (the reference's
+    prediction decode keeps first-piece logits and drops continuations,
+    ner_format_utils.py semantics); continuation labels are scheme
+    bookkeeping (I-X / O / PAD) and carry no span information. Exact
+    inverse of :func:`subtoken_labels` for every scheme."""
+    if scheme not in ("v1", "v2", "v3"):
+        raise ValueError(f"unknown scheme {scheme}")
+    out, i = [], 0
+    for k in n_pieces:
+        out.append(sub_labels[i])
+        i += k
+    return out
+
+
 def insert_entity_markers(
     tokens: list[str],
     head: tuple[int, int],

@@ -28,12 +28,16 @@ from kgp.functions.surrogate import (
 from kgp.ids import stable_id
 
 
-def oracle_mentions(rows: list[dict], entities: list[Entity]) -> list[dict]:
+def oracle_mentions(rows: list[dict], entities: list[Entity], detector: str = "crf") -> list[dict]:
     b_index, i_index = build_tagger_params(tagger_surfaces(entities))
+    if detector == "biaffine":
+        from kgp.functions.encoding import detect_spans_biaffine as detect
+    else:
+        detect = lambda t, b, i: detect_spans(t, b, i)  # noqa: E731
     out = []
     for r in rows:
         toks = tokenize(r["text"])
-        for s, e, label in detect_spans(toks, b_index, i_index):
+        for s, e, label in detect(toks, b_index, i_index):
             out.append(
                 {
                     "conv_id": r["conv_id"],

@@ -58,6 +58,7 @@ def detect_mentions(
 
     params_bc = spark.sparkContext.broadcast(build_tagger_params(surfaces))
     max_len = cfg.max_seq_len
+    scheme = cfg.label_scheme
     if tagger not in ("crf", "biaffine"):
         raise ValueError(f"unknown tagger {tagger}")
 
@@ -102,6 +103,29 @@ def detect_mentions(
                 span_lists = [
                     detect_spans_biaffine(toks, b_index, i_index) for toks in token_lists
                 ]
+            if scheme != "v1":
+                # P7 on the live path: word BIO -> sub-token labels under
+                # scheme v2/v3 (WordPiece-style surrogate pieces) -> first-
+                # piece collapse -> word spans. The round trip must be the
+                # identity (ner_data_utils.py:376-410 encode /
+                # ner_format_utils.py decode contract) — the driver query
+                # checks the v2 run against the word-level gold, so any
+                # piece-alignment bug breaks the hash.
+                from kgp.functions.encoding import (
+                    collapse_subtoken_labels,
+                    subtoken_labels,
+                    subtokenize,
+                )
+                from kgp.functions.surrogate import bio_encode
+
+                redecoded = []
+                for toks, spans in zip(token_lists, span_lists):
+                    word_labels = bio_encode(len(toks), spans)
+                    _, n_pieces = subtokenize(toks)
+                    sub = subtoken_labels(word_labels, n_pieces, scheme)
+                    back = collapse_subtoken_labels(sub, n_pieces, scheme)
+                    redecoded.append(bio_decode(back))
+                span_lists = redecoded
             out = {"conv_id": [], "turn_idx": [], "start": [], "end": [], "mention": [], "label": []}
             for cid, tix, toks, spans in zip(conv_ids, turn_idxs, token_lists, span_lists):
                 for s, e, label in spans:

@@ -119,3 +119,31 @@ def test_dedup_within_group_and_mask(spark):
     train = spark.createDataFrame([(1, "a")], "user long, item string")
     masked = mask_train_interactions(scores, train)
     assert [r["item"] for r in masked.collect()] == ["b"]
+
+
+def test_subtokenize_shape():
+    from kgp.functions.encoding import subtokenize
+
+    pieces, n_pieces = subtokenize(["hi", "tokenizer", "spark"], max_piece=4)
+    assert pieces == ["hi", "toke", "##nize", "##r", "spar", "##k"]
+    assert n_pieces == [1, 3, 2]
+
+
+def test_subtoken_label_roundtrip_all_schemes():
+    from kgp.functions.encoding import (
+        collapse_subtoken_labels,
+        subtoken_labels,
+        subtokenize,
+    )
+    from kgp.functions.surrogate import bio_decode, bio_encode
+
+    toks = ["the", "acme", "corporation", "ships", "widgets", "to", "metropolis"]
+    spans = [(1, 3, "ORG"), (6, 7, "LOC")]
+    word_labels = bio_encode(len(toks), spans)
+    _, n_pieces = subtokenize(toks, max_piece=4)
+    for scheme in ("v1", "v2", "v3"):
+        sub = subtoken_labels(word_labels, n_pieces, scheme)
+        assert len(sub) == sum(n_pieces)
+        back = collapse_subtoken_labels(sub, n_pieces, scheme)
+        assert back == word_labels
+        assert bio_decode(back) == spans
