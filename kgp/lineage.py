@@ -12,10 +12,14 @@ A stage runs as ``run_stage(name, build_fn)``:
 
 - if the manifest records status=ok for the same input fingerprint, the
   stage is **skipped** and its output is read back (resume path);
-- otherwise the stage builds, writes atomically (tmp dir + rename), records
-  per-partition metrics, and commits the manifest last — a crash between
-  write and commit re-runs the stage idempotently (same content hash ids,
-  same output).
+- otherwise bucketed stages commit at BUCKET granularity: every bucket
+  directory has a progress entry (``<stage>.buckets.json``) keyed by the
+  input fingerprint, dirty buckets are rewritten with dynamic partition
+  overwrite (clean directories untouched on disk), and the manifest
+  commits last — a crash anywhere resumes by rebuilding only the buckets
+  whose entry or directory is missing/stale (idempotent: same content
+  hash ids, same output);
+- unbucketed stages keep the whole-stage tmp-dir + rename commit.
 
 Per-partition metrics come from a groupBy over the same bucket key the
 table is partitioned on — they double as the skew report the north_rule
@@ -61,6 +65,26 @@ class LineageLog:
     def data_path(self, stage: str) -> str:
         return os.path.join(self.root, stage, "data")
 
+    # --- per-bucket progress (the overwritePartitions analogue) ---
+
+    def _progress_path(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{stage}.buckets.json")
+
+    def read_bucket_progress(self, stage: str) -> dict:
+        """bucket -> {input, rows_out}; committed buckets survive a crash
+        that happens before the stage manifest lands."""
+        p = self._progress_path(stage)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _write_bucket_progress(self, stage: str, progress: dict) -> None:
+        p = self._progress_path(stage)
+        with open(p + ".tmp", "w") as f:
+            json.dump({str(k): v for k, v in progress.items()}, f, indent=1)
+        os.replace(p + ".tmp", p)
+
     def run_stage(
         self,
         spark: SparkSession,
@@ -71,30 +95,32 @@ class LineageLog:
     ) -> DataFrame:
         """Build-or-resume one stage; returns the stage DataFrame (read back
         from its table so downstream consumers always see the persisted,
-        partition-pruned form)."""
+        partition-pruned form).
+
+        Bucketed stages commit at BUCKET granularity (SURVEY.md §4.3's
+        ``overwritePartitions`` contract): each bucket directory carries a
+        progress entry keyed by the input fingerprint, the write uses
+        dynamic partition overwrite (only dirty buckets' directories are
+        replaced), and a resume after a mid-stage crash rebuilds ONLY the
+        buckets whose entry is missing, stale, or whose directory was
+        lost — clean buckets are read back untouched.
+        """
         out = self.data_path(stage)
         if self.is_done(stage, input_fingerprint):
             return spark.read.parquet(out)
         t0 = time.time()
         df = build_fn()
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
-        writer = df
-        part_metrics = []
         if bucket_on is not None and bucket_on in df.columns:
-            writer = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_on)), F.lit(self.n_buckets)).cast("int"))
-            writer.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-            back = spark.read.parquet(tmp)
-            part_metrics = [
-                {"partition": int(r["bucket"]), "rows_out": int(r["n"])}
-                for r in back.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-            ]
+            part_metrics = self._run_bucketed(spark, stage, input_fingerprint, df, bucket_on)
             rows = sum(p["rows_out"] for p in part_metrics)
         else:
-            writer.write.mode("overwrite").parquet(tmp)
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
             rows = spark.read.parquet(tmp).count()
-        os.rename(tmp, out)
+            os.rename(tmp, out)
+            part_metrics = []
         manifest = {
             "stage": stage,
             "status": "ok",
@@ -108,6 +134,51 @@ class LineageLog:
             json.dump(manifest, f, indent=1)
         os.replace(self._manifest_path(stage) + ".tmp", self._manifest_path(stage))
         return spark.read.parquet(out)
+
+    def _run_bucketed(
+        self, spark: SparkSession, stage: str, input_fingerprint: str, df: DataFrame, bucket_on: str
+    ) -> list:
+        out = self.data_path(stage)
+        progress = self.read_bucket_progress(stage)
+        # a fingerprint change invalidates everything: hard reset (the
+        # Iceberg analogue is REPLACE TABLE — stale partitions must not
+        # survive an input change, dynamic overwrite alone would keep them)
+        if any(e.get("input") != input_fingerprint for e in progress.values()):
+            shutil.rmtree(out, ignore_errors=True)
+            progress = {}
+        clean = {
+            b
+            for b, e in progress.items()
+            if e.get("input") == input_fingerprint
+            and (e.get("rows_out") == 0 or os.path.isdir(os.path.join(out, f"bucket={b}")))
+        }
+        dirty = [b for b in range(self.n_buckets) if b not in clean]
+        if dirty:
+            writer = df.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(bucket_on)), F.lit(self.n_buckets)).cast("int")
+            ).where(F.col("bucket").isin([int(b) for b in dirty]))
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                writer.write.mode("overwrite").partitionBy("bucket").parquet(out)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            counts = {
+                int(r["bucket"]): int(r["n"])
+                for r in spark.read.parquet(out)
+                .where(F.col("bucket").isin([int(b) for b in dirty]))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for b in dirty:
+                progress[b] = {"input": input_fingerprint, "rows_out": counts.get(b, 0)}
+            self._write_bucket_progress(stage, progress)
+        return [
+            {"partition": int(b), "rows_out": int(e["rows_out"])}
+            for b, e in progress.items()
+            if e["rows_out"] > 0 or os.path.isdir(os.path.join(out, f"bucket={b}"))
+        ]
 
     def skew_report(self, stage: str) -> dict:
         """max/median partition rows — the salting-effectiveness metric."""

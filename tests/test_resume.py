@@ -62,3 +62,67 @@ def test_skew_report(spark, tmp_path):
     out = run_pipeline_resumable(spark, t, model, outdir)
     rep = out["lineage"].skew_report("mentions")
     assert rep["max"] >= rep["median"] > 0
+
+
+def test_bucket_granular_resume(spark, tmp_path):
+    """§4.3 overwritePartitions contract: a crash that loses some bucket
+    directories (after their progress entries committed, before the stage
+    manifest) resumes by rebuilding ONLY those buckets — clean bucket
+    files are untouched on disk — and reproduces identical output."""
+    import shutil
+
+    from kgp.lineage import LineageLog
+
+    log = LineageLog(str(tmp_path / "bg"), n_buckets=8)
+    rows = [(f"conv-{i:03d}", i, f"text {i}") for i in range(200)]
+
+    def build():
+        return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    df1 = log.run_stage(spark, "s", "fp1", build)
+    snap1 = sorted(tuple(r) for r in df1.drop("bucket").collect())
+    out = log.data_path("s")
+
+    def mtimes():
+        t = {}
+        for d in os.listdir(out):
+            if d.startswith("bucket="):
+                files = [
+                    os.path.join(out, d, f)
+                    for f in os.listdir(os.path.join(out, d))
+                    if f.endswith(".parquet")
+                ]
+                t[int(d.split("=")[1])] = max(os.stat(f).st_mtime_ns for f in files)
+        return t
+
+    t1 = mtimes()
+    assert len(t1) == 8
+
+    # crash: two bucket dirs lost, stage manifest never landed
+    victims = sorted(t1)[:2]
+    for b in victims:
+        shutil.rmtree(os.path.join(out, f"bucket={b}"))
+    os.remove(os.path.join(str(tmp_path / "bg"), "_lineage", "s.json"))
+
+    df2 = log.run_stage(spark, "s", "fp1", build)
+    snap2 = sorted(tuple(r) for r in df2.drop("bucket").collect())
+    assert snap2 == snap1
+    t2 = mtimes()
+    for b, m in t1.items():
+        if b in victims:
+            assert t2[b] > m  # rebuilt
+        else:
+            assert t2[b] == m  # byte-untouched: only dirty buckets rewritten
+
+    # completed manifest short-circuits: build_fn must not run again
+    def explode():
+        raise AssertionError("stage should have been skipped")
+
+    df3 = log.run_stage(spark, "s", "fp1", explode)
+    assert sorted(tuple(r) for r in df3.drop("bucket").collect()) == snap1
+
+    # fingerprint change hard-resets every bucket
+    os.remove(os.path.join(str(tmp_path / "bg"), "_lineage", "s.json"))
+    df4 = log.run_stage(spark, "s", "fp2", build)
+    assert sorted(tuple(r) for r in df4.drop("bucket").collect()) == snap1
+    assert all(e["input"] == "fp2" for e in log.read_bucket_progress("s").values())
