@@ -57,7 +57,7 @@ def _dense_ids(df: DataFrame, col: str, out: str, num_parts: int | None = None) 
         .distinct()
         .repartitionByRange(num_parts, F.col(col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # pinned by the counts job below
     )
     counts = {
         int(r["_pid"]): int(r["c"])
@@ -76,6 +76,9 @@ def _dense_ids(df: DataFrame, col: str, out: str, num_parts: int | None = None) 
         # nears 2^31 entries
         .withColumn(out, (F.col("_off") + F.row_number().over(w) - 1).cast("int"))
         .drop("_pid", "_off")
+        # consumers broadcast-join this (tiny) dict 1-3x: lazy checkpoint
+        # so the window runs once with no extra serial job barrier
+        .localCheckpoint(eager=False)
     )
 
 
@@ -96,8 +99,8 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     edges: forward (h, r, t) distinct + reverse (t, r + n_rel, h) —
     loader_kgat.py:86-91 semantics over OUR extracted triples.
     """
-    ents = entity_ids(triples).localCheckpoint()
-    rels = relation_ids(triples).localCheckpoint()
+    ents = entity_ids(triples)  # already lazily checkpointed
+    rels = relation_ids(triples)
     n_rel = rels.count()
     fwd = (
         triples.join(F.broadcast(ents.withColumnRenamed("entity_id", "subj")), "subj")
@@ -107,7 +110,9 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
         .join(F.broadcast(rels), "pred")
         .select("h", F.col("rel_int").alias("r"), "t")
         .dropDuplicates(["h", "r", "t"])  # A12
-        .localCheckpoint()  # consumed twice: forward set + reverse projection
+        # consumed twice (forward set + reverse projection): lazy
+        # checkpoint — materialized inside the consumer's job
+        .localCheckpoint(eager=False)
     )
     rev = fwd.select(
         F.col("t").alias("h"), (F.col("r") + F.lit(n_rel)).alias("r"), F.col("h").alias("t")

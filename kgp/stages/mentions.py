@@ -31,16 +31,29 @@ from kgp.ids import spark_stable_id_expr
 MENTION_SCHEMA = (
     "conv_id string, turn_idx int, start int, end int, mention string, label string"
 )
+TAGGED_SCHEMA = MENTION_SCHEMA + ", tokens array<string>"
 
 
-def detect_mentions(
+def tag_turns(
     spark: SparkSession,
     documents: DataFrame,
     surfaces: list,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     tagger: str = "crf",
 ) -> DataFrame:
-    """turns/documents -> mentions(conv_id, turn_idx, start, end, mention, label, mention_id).
+    """ONE narrow pass over the turns producing two row kinds:
+
+    - mention rows (``start`` NOT NULL, ``tokens`` NULL) — the F2 output;
+    - per-turn token rows (``start`` NULL, ``tokens`` = the turn's F1
+      tokens) — emitted ONLY for turns with >= 2 mentions, i.e. exactly
+      the turns the relation stage can form a pair in.
+
+    This is the fused fast path the e2e pipeline runs: the tagger already
+    tokenizes every turn, so re-tokenizing the corpus for RE
+    (tokenize_turns) and shuffling the FULL token table into the pair
+    join would both be pure memory-bandwidth waste at scale — the
+    multi-mention token table is a small fraction of the corpus and AQE
+    broadcast-joins it against the pair table.
 
     Input is either the raw transcript/turn table (conv_id, turn_idx,
     text) — the fast path: the tagger is a NARROW map over turns, no
@@ -126,7 +139,10 @@ def detect_mentions(
                     back = collapse_subtoken_labels(sub, n_pieces, scheme)
                     redecoded.append(bio_decode(back))
                 span_lists = redecoded
-            out = {"conv_id": [], "turn_idx": [], "start": [], "end": [], "mention": [], "label": []}
+            out = {
+                "conv_id": [], "turn_idx": [], "start": [], "end": [],
+                "mention": [], "label": [], "tokens": [],
+            }
             for cid, tix, toks, spans in zip(conv_ids, turn_idxs, token_lists, span_lists):
                 for s, e, label in spans:
                     out["conv_id"].append(cid)
@@ -135,12 +151,41 @@ def detect_mentions(
                     out["end"].append(e)
                     out["mention"].append(" ".join(toks[s:e]))
                     out["label"].append(label)
+                    out["tokens"].append(None)
+                if len(spans) >= 2:  # a token row only where RE pairs can exist
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(tix)
+                    out["start"].append(None)
+                    out["end"].append(None)
+                    out["mention"].append(None)
+                    out["label"].append(None)
+                    out["tokens"].append(list(toks))
             yield pd.DataFrame(out)
 
-    raw = turns.mapInPandas(tag, schema=MENTION_SCHEMA)
-    return raw.withColumn(
+    return turns.mapInPandas(tag, schema=TAGGED_SCHEMA)
+
+
+def mentions_from_tagged(tagged: DataFrame) -> DataFrame:
+    return tagged.where(F.col("start").isNotNull()).drop("tokens").withColumn(
         "mention_id", spark_stable_id_expr("conv_id", "turn_idx", "start", "end")
     )
+
+
+def pair_turn_tokens(tagged: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, tokens) for multi-mention turns only."""
+    return tagged.where(F.col("start").isNull()).select("conv_id", "turn_idx", "tokens")
+
+
+def detect_mentions(
+    spark: SparkSession,
+    documents: DataFrame,
+    surfaces: list,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    tagger: str = "crf",
+) -> DataFrame:
+    """turns/documents -> mentions (the F2 contract; see :func:`tag_turns`
+    for the fused single-pass variant the pipeline composes from)."""
+    return mentions_from_tagged(tag_turns(spark, documents, surfaces, cfg, tagger))
 
 
 TOKENS_SCHEMA = "conv_id string, turn_idx int, tokens array<string>"

@@ -22,7 +22,7 @@ from kgp.stages.coref import (
 )
 from kgp.stages.graph import materialize_graph
 from kgp.stages.linking import cluster_surfaces, link_clusters
-from kgp.stages.mentions import detect_mentions, tokenize_turns
+from kgp.stages.mentions import mentions_from_tagged, pair_turn_tokens, tag_turns
 from kgp.stages.pairs import coref_pairs, re_pairs
 from kgp.stages.relations import classify_relations
 from kgp.stages.triples import assemble_triples
@@ -51,24 +51,32 @@ def run_pipeline(
     # checkpointing keeps the logical plan of every downstream query small —
     # with plain persist() the full pipeline tree is re-analyzed on every
     # action and Catalyst planning time dominates execution.
-    # Only multi-consumer outputs are eagerly checkpointed (mentions feeds
-    # 3 branches, clusters 2, triples is scanned 3x by materialize_graph);
-    # single-consumer stages stay lazy so Spark fuses them into their
-    # consumer's job — fewer serial barriers, shorter critical path.
+    # Only multi-consumer outputs are checkpointed (tagged feeds 3
+    # branches, clusters 2, triples is scanned 3x by materialize_graph),
+    # and lazily (eager=False): the first consumer's job materializes
+    # them, so no stage adds its own serial job barrier.
     documents = assemble_documents(transcripts, cfg)
     # tagger input is raw turns (narrow map, no shuffle): mentions are
     # keyed (conv_id, turn_idx), so document assembly is a sibling
-    # deliverable, not an upstream dependency of mention detection
-    mentions = detect_mentions(spark, transcripts, model.surfaces, cfg).localCheckpoint()
-    turn_tokens = tokenize_turns(transcripts)
+    # deliverable, not an upstream dependency of mention detection.
+    # ONE fused pass emits mentions AND the multi-mention-turn token table
+    # (tag_turns) — the corpus is tokenized exactly once, and the relation
+    # join's token side is pair-turn-sized, not corpus-sized.
+    # localCheckpoint(eager=False): materializes inside the FIRST consumer
+    # job (one fewer serial job barrier), reused by the other branches.
+    tagged = tag_turns(spark, transcripts, model.surfaces, cfg).localCheckpoint(eager=False)
+    mentions = mentions_from_tagged(tagged)
+    turn_tokens = pair_turn_tokens(tagged)
 
     relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
 
     scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint()
+    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint(
+        eager=False
+    )
 
     links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
-    triples = assemble_triples(relations, clusters, links).localCheckpoint()
+    triples = assemble_triples(relations, clusters, links).localCheckpoint(eager=False)
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {
         "documents": documents,

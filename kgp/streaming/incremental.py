@@ -38,7 +38,7 @@ def incremental_triples(
     """
     from kgp.stages.coref import cluster_unionfind, positive_edges, score_coref_pairs
     from kgp.stages.linking import cluster_surfaces, link_clusters
-    from kgp.stages.mentions import detect_mentions, tokenize_turns
+    from kgp.stages.mentions import mentions_from_tagged, pair_turn_tokens, tag_turns
     from kgp.stages.pairs import coref_pairs, re_pairs
     from kgp.stages.relations import classify_relations
     from kgp.stages.triples import assemble_triples
@@ -50,9 +50,11 @@ def incremental_triples(
         if batch_df.isEmpty():
             return
         transcripts = batch_df.localCheckpoint()
-        mentions = detect_mentions(spark, transcripts, model.surfaces, cfg).localCheckpoint()
+        # same fused single-pass tagger as the batch pipeline
+        tagged = tag_turns(spark, transcripts, model.surfaces, cfg).localCheckpoint()
+        mentions = mentions_from_tagged(tagged)
         relations = classify_relations(
-            re_pairs(mentions, cfg), tokenize_turns(transcripts), cfg
+            re_pairs(mentions, cfg), pair_turn_tokens(tagged), cfg
         )
         clusters = cluster_unionfind(
             mentions,
