@@ -211,7 +211,14 @@ def transcripts_df(spark, cfg: FixtureConfig):
 
 
 def alias_df(spark, cfg: FixtureConfig):
-    return spark.createDataFrame(alias_dict_rows(make_gazetteer(cfg)), schema=ALIAS_SCHEMA)
+    # via pandas -> Arrow: a plain-list createDataFrame round-trips every
+    # row through pickled Python partitions (and per-task Python workers)
+    # each time the dictionary is broadcast-built; Arrow conversion is one
+    # driver-side columnar handoff
+    import pandas as pd
+
+    rows = alias_dict_rows(make_gazetteer(cfg))
+    return spark.createDataFrame(pd.DataFrame(rows), schema=ALIAS_SCHEMA)
 
 
 def fixture_config_for_sf(sf: float, skew: bool = False) -> FixtureConfig:

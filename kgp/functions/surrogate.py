@@ -62,6 +62,24 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _WS_RE.split(_PUNCT_RE.sub(r" \1 ", normalize_text(text))) if t]
 
 
+def tokenize_batch(texts) -> list[list[str]]:
+    """Vectorized twin of :func:`tokenize` over a pandas Series.
+
+    Same regexes, same output per row (property-tested against the scalar
+    form), but applied through pandas' C-level str loops — the scalar
+    chain's intermediate whitespace collapse + strip are provably
+    redundant under the final whitespace split, so the vectorized chain
+    is control-strip -> lower -> punct-spacing -> whitespace split (which
+    drops empty fields). This is the tagger hot path: per-row Python
+    function call + join overhead dominates at millions of turns.
+    """
+    s = texts.fillna("")
+    s = s.str.replace(_CONTROL_RE, "", regex=True)
+    s = s.str.lower()
+    s = s.str.replace(_PUNCT_RE, r" \1 ", regex=True)
+    return s.str.split().tolist()
+
+
 # ---------------------------------------------------------------------------
 # F2: emission model + Viterbi + BIO decode
 # ---------------------------------------------------------------------------

@@ -55,7 +55,10 @@ def get_spark(
         # many files and this only affects oversized ones.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # larger Arrow batches amortize the per-batch Python round trip in
+        # the pandas-UDF stages (measured ~12% e2e at sf4); turn rows are
+        # small, so 16k rows stays well under worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -110,9 +110,9 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
         .join(F.broadcast(rels), "pred")
         .select("h", F.col("rel_int").alias("r"), "t")
         .dropDuplicates(["h", "r", "t"])  # A12
-        # consumed twice (forward set + reverse projection): lazy
-        # checkpoint — materialized inside the consumer's job
-        .localCheckpoint(eager=False)
+        # consumed twice INSIDE the union query (forward set + reverse
+        # projection): eager, or both subtrees recompute it in one job
+        .localCheckpoint()
     )
     rev = fwd.select(
         F.col("t").alias("h"), (F.col("r") + F.lit(n_rel)).alias("r"), F.col("h").alias("t")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgp.config import DEFAULT_CONFIG, PipelineConfig
-from kgp.functions.surrogate import LABELS, batch_viterbi, bio_decode, build_emissions, tokenize
+from kgp.functions.surrogate import LABELS, batch_viterbi, bio_decode, tokenize_batch
 from kgp.ids import spark_stable_id_expr
 
 MENTION_SCHEMA = (
@@ -90,12 +90,15 @@ def tag_turns(
         row_cache: dict = {}  # token -> emission row; lives for the task
         for pdf in batches:
             conv_ids, turn_idxs, token_lists = [], [], []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                toks = tokenize(text)[:max_len]  # truncation, P5 analogue
+            # vectorized F1 over the whole Arrow batch (same output as the
+            # scalar tokenize(), property-tested)
+            for conv_id, turn_idx, toks in zip(
+                pdf["conv_id"], pdf["turn_idx"], tokenize_batch(pdf["text"])
+            ):
                 if toks:
                     conv_ids.append(conv_id)
                     turn_idxs.append(turn_idx)
-                    token_lists.append(toks)
+                    token_lists.append(toks[:max_len])  # truncation, P5 analogue
             if tagger == "crf":
                 # decode only sequences with >=1 gazetteer hit: a no-hit
                 # sequence has all-O emissions, whose Viterbi path is all-O
@@ -196,6 +199,6 @@ def tokenize_turns(transcripts: DataFrame) -> DataFrame:
 
     @F.pandas_udf("array<string>")
     def tok(texts: pd.Series) -> pd.Series:
-        return texts.map(tokenize)
+        return pd.Series(tokenize_batch(texts), index=texts.index)
 
     return transcripts.select("conv_id", "turn_idx", tok("text").alias("tokens"))

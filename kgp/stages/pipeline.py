@@ -53,8 +53,9 @@ def run_pipeline(
     # action and Catalyst planning time dominates execution.
     # Only multi-consumer outputs are checkpointed (tagged feeds 3
     # branches, clusters 2, triples is scanned 3x by materialize_graph),
-    # and lazily (eager=False): the first consumer's job materializes
-    # them, so no stage adds its own serial job barrier.
+    # and EAGERLY: consumers sit in one downstream query (some under
+    # broadcast-exchange threads), and only an already-materialized
+    # checkpoint guarantees the producer runs exactly once.
     documents = assemble_documents(transcripts, cfg)
     # tagger input is raw turns (narrow map, no shuffle): mentions are
     # keyed (conv_id, turn_idx), so document assembly is a sibling
@@ -62,21 +63,23 @@ def run_pipeline(
     # ONE fused pass emits mentions AND the multi-mention-turn token table
     # (tag_turns) — the corpus is tokenized exactly once, and the relation
     # join's token side is pair-turn-sized, not corpus-sized.
-    # localCheckpoint(eager=False): materializes inside the FIRST consumer
-    # job (one fewer serial job barrier), reused by the other branches.
-    tagged = tag_turns(spark, transcripts, model.surfaces, cfg).localCheckpoint(eager=False)
+    # EAGER checkpoint: tagged feeds several consumer subtrees INSIDE one
+    # downstream query (including broadcast-exchange threads); a lazy
+    # checkpoint lets those subtrees race and re-run the whole tagger pass
+    # per consumer (observed in the event log as a second full
+    # Scan>MapInPandas under a BroadcastExchange), so the one serial job
+    # here buys single-execution of the most expensive stage.
+    tagged = tag_turns(spark, transcripts, model.surfaces, cfg).localCheckpoint()
     mentions = mentions_from_tagged(tagged)
     turn_tokens = pair_turn_tokens(tagged)
 
     relations = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
 
     scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint(
-        eager=False
-    )
+    clusters = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg).localCheckpoint()
 
     links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
-    triples = assemble_triples(relations, clusters, links).localCheckpoint(eager=False)
+    triples = assemble_triples(relations, clusters, links).localCheckpoint()
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {
         "documents": documents,

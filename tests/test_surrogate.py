@@ -116,3 +116,28 @@ def test_jaccard_properties():
 
 def test_char_ngrams_short_string():
     assert char_ngrams("a") == {"#a#"}
+
+
+def test_tokenize_batch_matches_scalar():
+    """The vectorized tokenizer must be row-identical to the scalar one."""
+    import pandas as pd
+
+    from kgp.functions.surrogate import tokenize, tokenize_batch
+
+    samples = [
+        "Hello, World!  multiple   spaces",
+        "",
+        "   ",
+        "UPPER lower MiXeD",
+        "punct:everywhere;yes(really)[ok]\"quoted\"'single'",
+        "tab\tseparated\nnewline\r\nand control\x07chars\x1f.",
+        "unicode café naïve 中文 tokens",
+        "a.b,c!d?e;f:g(h)i[j]k",
+        "trailing punctuation!",
+        "!leading",
+        None,
+    ]
+    s = pd.Series(samples)
+    got = tokenize_batch(s)
+    want = [tokenize(x or "") for x in samples]
+    assert got == want

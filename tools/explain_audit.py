@@ -29,7 +29,11 @@ AUDIT = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_ivf",
+    "el_threshold_sweep",
     "text_quality",
     "events_sessionize",
     "tpch_q1",

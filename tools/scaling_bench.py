@@ -63,10 +63,18 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_PIPELINE_ONLY="1",
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.environ.get("SCALE_PIN", "1") != "0":
+        # pin the WHOLE process tree (JVM task threads + Python UDF
+        # workers + GC) to exactly `cpus` cores: an N-core executor owns N
+        # cores total, so unpinned local[N] (auxiliary threads spilling
+        # onto idle cores) overstates the small leg and understates the
+        # scaling ratio. Pinning is the honest N-vs-4N emulation.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     wait_for_calm()
     load = loadavg()
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
