@@ -78,7 +78,7 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=int(os.environ.get("SCALE_RUN_TIMEOUT", "3600")),
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
