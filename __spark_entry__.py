@@ -134,6 +134,44 @@ def _q_mentions_subtok(spark, sf_dir):
     return _mention_projection(m)
 
 
+def _q_metric_span_prf(spark, sf_dir):
+    """A7/J5: seqeval-style span P/R/F1 of the biaffine detector's spans
+    against the CRF-path gold — one row of totals (the reference's
+    global-accumulation convention, not per-sample averaging)."""
+    from kgp.metrics import span_prf_df
+
+    pred = _gold(spark, sf_dir, "gold_mentions_biaffine")
+    gold = _gold(spark, sf_dir, "gold_mentions")
+    return span_prf_df(pred, gold, keys=("conv_id", "turn_idx"))
+
+
+def _q_metric_ann_recall(spark, sf_dir):
+    """A11 + the LSH recall floor, driver-visible: per-query
+    precision@10 / recall@10 / ndcg@10 of hyperplane-LSH top-k against
+    the exact brute-force top-10 (ndcg rounded to 9 dp: group-sum float
+    order is the only engine difference)."""
+    from kgp.metrics import ranking_metrics
+    from kgp.ops.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = cosine_topk_lsh(emb, q, k=10, n_planes=6, n_tables=4, dim=64, seed=42).select(
+        F.col("q_id").alias("user"), F.col("vec_id").alias("item"), "rank"
+    )
+    truth = cosine_topk_bruteforce(emb, q, k=10).select(
+        F.col("q_id").alias("user"), F.col("vec_id").alias("item")
+    )
+    out = ranking_metrics(approx, truth, k=10)
+    return out.select(
+        "user", F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_true").cast("long").alias("n_true"),
+        "precision_at_k", "recall_at_k",
+        F.round("ndcg_at_k", 9).alias("ndcg_at_k"),
+    )
+
+
 def _q_relations(spark, sf_dir):
     r = _pipeline_outputs(spark, sf_dir)["relations"]
     return r.select(
@@ -382,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_mentions,
         "kg_mentions_biaffine": _q_mentions_biaffine,
         "kg_mentions_subtok": _q_mentions_subtok,
+        "metric_span_prf": _q_metric_span_prf,
+        "metric_ann_recall": _q_metric_ann_recall,
         "kg_relations": _q_relations,
         "kg_clusters": _q_clusters,
         "kg_links": _q_links,
@@ -431,6 +471,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": oracles.gold_sql(g("gold_mentions")),
         "kg_mentions_biaffine": oracles.gold_sql(g("gold_mentions_biaffine")),
         "kg_mentions_subtok": oracles.gold_sql(g("gold_mentions")),
+        "metric_span_prf": oracles.metric_span_prf_sql(
+            g("gold_mentions_biaffine"), g("gold_mentions")
+        ),
+        "metric_ann_recall": oracles.metric_ann_recall_sql(5, 10, 6, 4, 64, 42),
         "kg_relations": oracles.gold_sql(g("gold_relations")),
         "kg_clusters": oracles.gold_sql(g("gold_clusters")),
         "kg_links": oracles.gold_sql(g("gold_links")),

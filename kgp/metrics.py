@@ -33,16 +33,34 @@ def micro_prf(pairs: DataFrame, pred_col: str = "pred", gold_col: str = "gold") 
     return {"precision": p, "recall": rec, "f1": f1, "tp": tp, "n_pred": npred, "n_true": ntruth}
 
 
+def span_prf_df(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> DataFrame:
+    """Entity-level F1 as a one-row DataFrame: exact (keys, start, end,
+    label) span match (J5) — the relational core of :func:`span_prf`,
+    usable inside larger plans (and by the driver's SQL-checked query)."""
+    on = [*keys, "start", "end", "label"]
+    tp_df = pred_spans.join(gold_spans, on=list(on), how="left_semi").agg(
+        F.count("*").alias("tp")
+    )
+    np_df = pred_spans.agg(F.count("*").alias("n_pred"))
+    nt_df = gold_spans.agg(F.count("*").alias("n_true"))
+    out = tp_df.crossJoin(np_df).crossJoin(nt_df)
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(F.lit(0.0))
+    out = out.withColumn("precision", p).withColumn("recall", r)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.select("tp", "n_pred", "n_true", "precision", "recall", f1.alias("f1"))
+
+
 def span_prf(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> dict:
     """Entity-level F1: exact (keys, start, end, label) span match (J5)."""
-    on = [*keys, "start", "end", "label"]
-    tp = pred_spans.join(gold_spans, on=list(on), how="left_semi").count()
-    npred = pred_spans.count()
-    ntruth = gold_spans.count()
-    p = tp / npred if npred else 0.0
-    r = tp / ntruth if ntruth else 0.0
-    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
-    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "n_pred": npred, "n_true": ntruth}
+    r = span_prf_df(pred_spans, gold_spans, keys).first()
+    return {
+        "precision": r["precision"], "recall": r["recall"], "f1": r["f1"],
+        "tp": r["tp"], "n_pred": r["n_pred"], "n_true": r["n_true"],
+    }
 
 
 def sentence_accuracy(df: DataFrame, pred_col: str = "pred_seq", gold_col: str = "gold_seq") -> float:

@@ -454,3 +454,77 @@ SELECT theta, tp, n_pred, n_gold, precision, recall,
             THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
 FROM pr
 """
+
+
+def metric_span_prf_sql(pred_path: str, gold_path: str) -> str:
+    """Mirrors kgp.metrics.span_prf_df over the two gold mention tables."""
+    return f"""
+WITH p AS (SELECT * FROM read_parquet('{pred_path}')),
+ g AS (SELECT * FROM read_parquet('{gold_path}')),
+ stats AS (SELECT
+   (SELECT count(*) FROM p WHERE EXISTS (
+      SELECT 1 FROM g WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+        AND g."start" = p."start" AND g."end" = p."end" AND g.label = p.label)) AS tp,
+   (SELECT count(*) FROM p) AS n_pred,
+   (SELECT count(*) FROM g) AS n_true),
+ pr AS (SELECT *,
+   CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END AS precision,
+   CASE WHEN n_true > 0 THEN tp / n_true ELSE 0.0 END AS recall
+ FROM stats)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+FROM pr
+"""
+
+
+def metric_ann_recall_sql(
+    n_queries: int, k: int, n_planes: int, n_tables: int, dim: int, seed: int
+) -> str:
+    """ranking_metrics(approx=LSH top-k, truth=exact top-k) twin: per-query
+    precision@k / recall@k / ndcg@k. ndcg rounded to 9 dp on both engines
+    (group-sum float order is the only difference; all other columns are
+    exact integer ratios)."""
+    dot = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), 'sum')"
+    )
+    return f"""
+WITH planes AS (SELECT tbl, j, col2 AS p FROM (VALUES
+  {_planes_values(n_planes, n_tables, dim, seed)}) t(tbl, j, col2)),
+ qset AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+ ib AS ({_bucket_cte('embeddings', 'vec_id', 'vec_id')}),
+ qb AS ({_bucket_cte('qset', 'q_id', 'q_id', 'q_emb')}),
+ cand AS (SELECT DISTINCT qb.q_id, ib.vec_id
+          FROM ib JOIN qb ON ib.tbl = qb.tbl AND ib.bucket = qb.bucket),
+ ascored AS (SELECT c.q_id, c.vec_id,
+                    {dot} / ({_nrm('e.embedding')} * {_nrm('q.q_emb')}) AS cos
+             FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                         JOIN qset q ON q.q_id = c.q_id),
+ approx AS (SELECT q_id AS u, vec_id AS item, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM ascored) WHERE rank <= {k}),
+ tscored AS (SELECT q.q_id, e.vec_id,
+                    {dot} / ({_nrm('e.embedding')} * {_nrm('q.q_emb')}) AS cos
+             FROM embeddings e, qset q),
+ struth AS (SELECT q_id AS u, vec_id AS item FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM tscored) WHERE rank <= {k}),
+ hits AS (SELECT a.u, a.item, a.rank,
+                 CASE WHEN t.item IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM approx a LEFT JOIN struth t ON a.u = t.u AND a.item = t.item),
+ ntr AS (SELECT u, count(*) AS n_true FROM struth GROUP BY u),
+ per AS (SELECT u, sum(hit) AS n_hit,
+                sum((pow(2.0, hit) - 1) / log2(rank + 1)) AS dcg
+         FROM hits GROUP BY u)
+SELECT per.u AS user, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_true AS BIGINT) AS n_true,
+       n_hit / {k} AS precision_at_k,
+       n_hit / n_true AS recall_at_k,
+       round(dcg / greatest(
+         list_aggregate(list_transform(range(1, CAST(least(n_true, {k}) AS BIGINT) + 1),
+                                       i -> 1.0 / log2(i + 1)), 'sum'),
+         1e-12), 9) AS ndcg_at_k
+FROM per JOIN ntr ON per.u = ntr.u
+"""
