@@ -257,16 +257,38 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _assert_no_drops(what):
+    """The SQL oracle twins model NO hot-key cap, so certification is only
+    valid while the caps never bind. A binding cap must fail LOUDLY here
+    (turning a silent oracle divergence into an error the driver records),
+    not silently drop candidates the oracle still counts."""
+
+    def hook(n):
+        if n:
+            raise AssertionError(
+                f"{what}: hot-key cap engaged ({n} keys dropped) but the "
+                "SQL oracle models no cap — raise the cap or update the twin"
+            )
+
+    return hook
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from kgp.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        on_drop=_assert_no_drops("dedup_ngram_jaccard max_shingle_df"),
+    )
 
 
 def _q_minhash_lsh(spark, sf_dir):
     from kgp.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4, n=3)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, n=3,
+        on_drop=_assert_no_drops("dedup_minhash_lsh max_bucket_size"),
+    )
 
 
 def _q_simhash(spark, sf_dir):

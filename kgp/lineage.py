@@ -140,6 +140,13 @@ class LineageLog:
     ) -> list:
         out = self.data_path(stage)
         progress = self.read_bucket_progress(stage)
+        # an output dir with NO progress map is unknown provenance (crash
+        # between the parquet write and the progress commit, or a layout
+        # from the pre-bucketing whole-stage format): its buckets can be
+        # stale under the current input, and dynamic overwrite would keep
+        # any bucket the new input produces no rows for — hard reset
+        if not progress and os.path.exists(out):
+            shutil.rmtree(out, ignore_errors=True)
         # a fingerprint change invalidates everything: hard reset (the
         # Iceberg analogue is REPLACE TABLE — stale partitions must not
         # survive an input change, dynamic overwrite alone would keep them)

@@ -249,7 +249,7 @@ def embedding_cosine_dups(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    lsh_planes: int = 8,
+    lsh_planes: int = 6,
     lsh_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -263,8 +263,13 @@ def embedding_cosine_dups(
       smaller side). O(N²): the correctness baseline, OPT-IN ONLY for
       oracle-checked bounded inputs — calling it on a large table is a
       cross-product explosion by construction.
-    - ``lsh_planes > 0`` (the DEFAULT) — hyperplane-LSH blocking (same
-      sign-pattern
+    - ``lsh_planes > 0`` (the DEFAULT; planes=6/tables=4/seed=42 is the
+      exact configuration the ``dedup_embedding_lsh`` driver query
+      certifies against its SQL twin — defaults and certified config are
+      deliberately the same values. NOTE: the default flipped from
+      exact-all-pairs to LSH in round 2; callers needing the exact
+      baseline must opt in with ``lsh_planes=0``) — hyperplane-LSH
+      blocking (same sign-pattern
       bucketing as kgp.ops.similarity.cosine_topk_lsh): pairs are only
       compared within a shared bucket of one of ``lsh_tables`` independent
       tables, an equi-join on the bucket id. Near-identical vectors

@@ -147,12 +147,17 @@ def ivf_topk(
     centroid, queries scanning only their ``nprobe`` nearest centroid
     lists.
 
-    The recomputed centroid means are rounded to 6 decimals: a float sum's
-    value depends on accumulation order, which Spark does not fix across
-    partitionings — rounding far below the data's signal level (but far
-    above the ~1e-13 order jitter) makes the refined centroids, and hence
-    every downstream assignment, bit-reproducible run to run (and
-    reproducible in the ANSI-SQL oracle twin).
+    The recomputed centroid means are BIT-deterministic, not merely
+    rounded: per (centroid, dim) the member values are collected, sorted,
+    and summed in that fixed order (a float sum's value depends on
+    accumulation order, which neither Spark nor any engine fixes across
+    partitionings), then divided and rounded to 6 decimals. Sort-then-sum
+    makes the mean identical across runs, partitionings, and engines (the
+    ANSI-SQL oracle twin folds the same sorted list), so no assignment can
+    flip on a value that lands near a rounding boundary. Per-centroid
+    member lists are |items|/n_centroids on average — the collect_list is
+    bounded by cluster size, and at true scale a centroid's member count
+    is capped by the same partitioning argument as any groupBy key.
     """
     cents = (
         items.orderBy("vec_id")
@@ -164,7 +169,14 @@ def ivf_topk(
         cents = (
             assigned.select("c_id", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("c_id", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .agg(F.array_sort(F.collect_list(F.col("v").cast("double"))).alias("vs"))
+            .select(
+                "c_id",
+                "pos",
+                F.round(
+                    F.aggregate("vs", F.lit(0.0), lambda a, v: a + v) / F.size("vs"), 6
+                ).alias("m"),
+            )
             .groupBy("c_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("c_id", F.transform("pm", lambda s: s["m"]).alias("c_emb"))

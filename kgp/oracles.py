@@ -378,8 +378,9 @@ def ann_ivf_sql(
     n_queries: int, k: int, n_centroids: int, nprobe: int, dim: int
 ) -> str:
     """One Lloyd round, mirroring kgp.ops.similarity.ivf_topk: seed
-    centroids = lowest vec_ids, assign, elementwise mean rounded to 6 dp
-    (kills float sum-order jitter on both engines), reassign, probe."""
+    centroids = lowest vec_ids, assign, elementwise mean computed as
+    SORT-THEN-SUM over the member values (bit-deterministic across
+    engines/partitionings) divided and rounded to 6 dp, reassign, probe."""
     sim = (
         "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
         "i -> e.embedding[i]::DOUBLE * c.c_emb[i]), 'sum')"
@@ -402,7 +403,9 @@ WITH c0 AS (SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS 
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.c_id) AS rk
         FROM embeddings e, c0 c) WHERE rk = 1),
  c1 AS (SELECT c_id, list(m ORDER BY pos) AS c_emb FROM (
-        SELECT c_id, r.range AS pos, round(avg(embedding[r.range]::DOUBLE), 6) AS m
+        SELECT c_id, r.range AS pos,
+               round(list_aggregate(list_sort(list(embedding[r.range]::DOUBLE)), 'sum')
+                     / count(*), 6) AS m
         FROM a0, range(1, {dim} + 1) r GROUP BY c_id, r.range) GROUP BY c_id),
  a1 AS (SELECT vec_id, embedding, c_id FROM (
         SELECT e.vec_id, e.embedding, c.c_id,

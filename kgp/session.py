@@ -60,6 +60,12 @@ def get_spark(
         # small, so 16k rows stays well under worker memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
+        # independent stage materializations are submitted from concurrent
+        # driver threads (kgp.stages.pipeline): FAIR scheduling lets a
+        # short job's tasks interleave with a long sibling instead of
+        # queueing behind it, filling scheduler gaps (shuffle barriers,
+        # AQE replanning) that otherwise idle cores at low parallelism
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

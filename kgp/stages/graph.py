@@ -30,67 +30,70 @@ from pyspark.sql.window import Window
 EDGE_SCHEMA = "h long, r int, t long"
 
 
-def _dense_ids(df: DataFrame, col: str, out: str, num_parts: int | None = None) -> DataFrame:
-    """Distinct values -> contiguous ids 0..n-1 in sorted order (stable).
+def _dense_id_dicts(triples: DataFrame) -> tuple[DataFrame, DataFrame, int, int]:
+    """BOTH id dictionaries (entities sorted by key -> 0..n_ent-1,
+    relations sorted by key -> 0..n_rel-1) in ONE numbering job.
 
     Two-phase distributed assignment — never a global single-partition
     window (which would funnel the whole key set through ONE task at
     scale):
 
-    1. range-partition the distinct key set (partition p holds keys all
-       ordered before partition p+1's; RangePartitioner assigns ascending
-       ranges to ascending partition ids) and pin the partitioning with a
-       localCheckpoint so phases 2 and 3 see identical placement;
-    2. count rows per partition and collect the TINY (<= num_parts rows)
-       count table to the driver to compute cumulative offsets;
-    3. number partition-locally: id = offset[pid] + row_number(within pid
-       ordered by key) - 1 via a Window partitioned ON the partition id.
+    1. union the distinct entity/relation key sets tagged with a ``kind``
+       column, range-partition on (kind, key) (RangePartitioner assigns
+       ascending ranges to ascending partition ids, so within each kind
+       keys ascend with the partition id) and pin the placement with a
+       localCheckpoint;
+    2. ONE collect of the tiny per-(kind, partition) count table gives
+       cumulative offsets per kind AND both dictionary sizes for free —
+       round 2 ran this as three driver jobs (two collects + an n_rel
+       count), a pure serial-floor tax at high parallelism;
+    3. number partition-locally: id = offset[kind, pid] + row_number
+       (within (kind, pid) ordered by key) - 1.
 
-    Output is byte-identical to the old global-window form (global sorted
-    order, ids 0..n-1) but every phase is parallel.
+    The numbered dict is EAGERLY checkpointed: it feeds three broadcast
+    subtrees of the fwd query (subj join, obj join, pred join), and only
+    an already-materialized checkpoint guarantees the numbering runs once.
+    Output ids are byte-identical to numbering each dictionary separately.
     """
-    spark = df.sparkSession
-    if num_parts is None:
-        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark = triples.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = (
+        triples.select(F.lit("e").alias("kind"), F.col("subj").alias("key"))
+        .unionByName(triples.select(F.lit("e").alias("kind"), F.col("obj").alias("key")))
+        .unionByName(triples.select(F.lit("r").alias("kind"), F.col("pred").alias("key")))
+    )
     keyed = (
-        df.select(col)
-        .distinct()
-        .repartitionByRange(num_parts, F.col(col))
+        keys.distinct()
+        .repartitionByRange(num_parts, F.col("kind"), F.col("key"))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)  # pinned by the counts job below
     )
     counts = {
-        int(r["_pid"]): int(r["c"])
-        for r in keyed.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+        (r["kind"], int(r["_pid"])): int(r["c"])
+        for r in keyed.groupBy("kind", "_pid").agg(F.count("*").alias("c")).collect()
     }
-    rows, acc = [], 0
-    for pid in sorted(counts):
-        rows.append((pid, acc))
-        acc += counts[pid]
-    off = spark.createDataFrame(rows, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(col)
-    return (
-        keyed.join(F.broadcast(off), "_pid")
+    rows, totals = [], {"e": 0, "r": 0}
+    for kind, pid in sorted(counts):
+        rows.append((kind, pid, totals[kind]))
+        totals[kind] += counts[(kind, pid)]
+    off = spark.createDataFrame(rows, "kind string, _pid int, _off long")
+    w = Window.partitionBy("kind", "_pid").orderBy("key")
+    numbered = (
+        keyed.join(F.broadcast(off), ["kind", "_pid"])
         # int keeps the historical schema (ids are dictionary-bounded, like
         # the reference's remap files); switch to long if a dictionary ever
         # nears 2^31 entries
-        .withColumn(out, (F.col("_off") + F.row_number().over(w) - 1).cast("int"))
-        .drop("_pid", "_off")
-        # consumers broadcast-join this (tiny) dict 1-3x: lazy checkpoint
-        # so the window runs once with no extra serial job barrier
-        .localCheckpoint(eager=False)
+        .withColumn("idx", (F.col("_off") + F.row_number().over(w) - 1).cast("int"))
+        .select("kind", "key", "idx")
+        .localCheckpoint()
     )
-
-
-def entity_ids(triples: DataFrame) -> DataFrame:
-    ents = triples.select(F.col("subj").alias("entity_id")).union(
-        triples.select(F.col("obj").alias("entity_id"))
+    ents = numbered.where(F.col("kind") == "e").select(
+        F.col("key").alias("entity_id"), F.col("idx").alias("ent_int")
     )
-    return _dense_ids(ents, "entity_id", "ent_int")
-
-
-def relation_ids(triples: DataFrame) -> DataFrame:
-    return _dense_ids(triples.select(F.col("pred")), "pred", "rel_int")
+    rels = numbered.where(F.col("kind") == "r").select(
+        F.col("key").alias("pred"), F.col("idx").alias("rel_int")
+    )
+    return ents, rels, totals["e"], totals["r"]
 
 
 def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -99,9 +102,7 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     edges: forward (h, r, t) distinct + reverse (t, r + n_rel, h) —
     loader_kgat.py:86-91 semantics over OUR extracted triples.
     """
-    ents = entity_ids(triples)  # already lazily checkpointed
-    rels = relation_ids(triples)
-    n_rel = rels.count()
+    ents, rels, _n_ent, n_rel = _dense_id_dicts(triples)
     fwd = (
         triples.join(F.broadcast(ents.withColumnRenamed("entity_id", "subj")), "subj")
         .withColumnRenamed("ent_int", "h")
@@ -125,11 +126,15 @@ def kgat_construct(kg: DataFrame, cf: DataFrame) -> dict:
 
     Returns dict of DataFrames: edges, adjacency, stats (single row).
     """
-    kg = kg.dropDuplicates(["h", "r", "t"])  # :80
-    n_rel = kg.agg(F.max("r")).first()[0] + 1  # :95-98 max-id convention
-    n_ent = (
-        kg.select(F.greatest(F.max("h"), F.max("t")).alias("m")).first()["m"] + 1
-    )
+    # deduped kg feeds the stats agg AND fwd/rev below: pin it so the
+    # dedup shuffle runs once, and batch both extent statistics (:95-98
+    # max-id convention) into ONE driver job instead of two first() jobs
+    kg = kg.dropDuplicates(["h", "r", "t"]).localCheckpoint()  # :80
+    stats0 = kg.agg(
+        (F.max("r") + 1).alias("n_rel"),
+        (F.greatest(F.max("h"), F.max("t")) + 1).alias("n_ent"),
+    ).first()
+    n_rel, n_ent = stats0["n_rel"], stats0["n_ent"]
     # reverse edges (:86-91), then shift all kg relations by 2 (:95)
     fwd = kg.select("h", (F.col("r") + F.lit(2)).alias("r"), "t")
     rev = kg.select(

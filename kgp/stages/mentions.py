@@ -137,8 +137,31 @@ def tag_turns(
                 redecoded = []
                 for toks, spans in zip(token_lists, span_lists):
                     word_labels = bio_encode(len(toks), spans)
-                    _, n_pieces = subtokenize(toks)
+                    pieces, n_pieces = subtokenize(toks)
+                    # alignment check INDEPENDENT of n_pieces: word starts
+                    # are the non-"##" pieces, so the piece strings alone
+                    # determine the word->piece alignment. The encode/
+                    # decode round trip below is the identity for ANY
+                    # n_pieces (first-piece labels survive collapse), so
+                    # without this check a subtokenize misalignment could
+                    # never break the driver query's hash.
+                    n_check = []
+                    for p in pieces:
+                        if p.startswith("##") and n_check:
+                            n_check[-1] += 1
+                        else:
+                            n_check.append(1)
+                    if n_check != n_pieces:
+                        raise ValueError(
+                            f"subtokenize misalignment: pieces imply {n_check}, "
+                            f"n_pieces says {n_pieces} for tokens {toks!r}"
+                        )
                     sub = subtoken_labels(word_labels, n_pieces, scheme)
+                    if len(sub) != len(pieces):
+                        raise ValueError(
+                            f"subtoken label/piece length mismatch: "
+                            f"{len(sub)} labels vs {len(pieces)} pieces"
+                        )
                     back = collapse_subtoken_labels(sub, n_pieces, scheme)
                     redecoded.append(bio_decode(back))
                 span_lists = redecoded
