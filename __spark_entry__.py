@@ -247,6 +247,126 @@ def _q_kgat_edges(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# reference-format reader queries (S1-S7): Spark parses the raw fixture
+# files; the DuckDB twin re-parses the SAME bytes (kgp/oracles.py)
+# ---------------------------------------------------------------------------
+
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _reader_paths() -> dict[str, str]:
+    from kgp.io.reader_fixtures import ensure_reader_fixtures
+
+    return ensure_reader_fixtures(FIXTURE_ROOT)
+
+
+def _q_read_semeval(spark, sf_dir):
+    from kgp.io.readers import read_semeval_jsonl
+
+    ok, _quarantine = read_semeval_jsonl(spark, _reader_paths()["semeval.jsonl"])
+    return ok.select(
+        F.array_join("tokens", " ").alias("sent"),
+        "head_name", F.col("head_s").cast("long").alias("head_s"),
+        F.col("head_e").cast("long").alias("head_e"),
+        "tail_name", F.col("tail_s").cast("long").alias("tail_s"),
+        F.col("tail_e").cast("long").alias("tail_e"),
+        "relation",
+    )
+
+
+def _q_read_mrc(spark, sf_dir):
+    from kgp.io.readers import read_mrc_ner_json
+
+    df = read_mrc_ner_json(spark, _reader_paths()["mrc_ner.json"])
+    return df.select("sample_id", "context", F.explode("spans").alias("sp")).select(
+        "sample_id", "context",
+        F.col("sp.start").cast("long").alias("start"),
+        F.col("sp.end").cast("long").alias("end"),
+        F.col("sp.label").alias("label"),
+    )
+
+
+def _q_read_ccks(spark, sf_dir):
+    from kgp.io.readers import read_ccks_json
+
+    df = read_ccks_json(spark, _reader_paths()["ccks_ner.json"])
+    return df.select("sentence", F.explode("spans").alias("sp")).select(
+        "sentence",
+        F.col("sp.start").cast("long").alias("start"),
+        F.col("sp.end").cast("long").alias("end"),
+        F.col("sp.label").alias("label"),
+    )
+
+
+def _q_read_el_tsv(spark, sf_dir):
+    from kgp.io.readers import read_el_pairs_tsv
+
+    return read_el_pairs_tsv(spark, _reader_paths()["el_pairs.tsv"]).select(
+        "text_a", "text_b", F.col("label").cast("long").alias("label")
+    )
+
+
+def _q_read_cdn(spark, sf_dir):
+    from kgp.io.readers import read_cdn_json
+
+    df = read_cdn_json(spark, _reader_paths()["cdn.json"])
+    return df.select("text", F.explode("gold_entities").alias("gold_entity"))
+
+
+def _q_read_kg_triples(spark, sf_dir):
+    from kgp.io.readers import read_kg_triples
+
+    df = read_kg_triples(spark, _reader_paths()["kg_final.txt"])
+    return df.select(
+        F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
+    )
+
+
+def _q_read_cf_adjacency(spark, sf_dir):
+    from kgp.io.readers import read_cf_adjacency
+
+    return read_cf_adjacency(spark, _reader_paths()["cf_train.txt"])
+
+
+def _q_read_id_remap(spark, sf_dir):
+    from kgp.io.readers import read_id_remap
+
+    return read_id_remap(spark, _reader_paths()["entity_remap.txt"])
+
+
+# ---------------------------------------------------------------------------
+# F7: KGAT attention score + softmax, end-to-end certified
+# ---------------------------------------------------------------------------
+
+_ATT_N_ENT, _ATT_N_REL = 40, 4
+
+
+def _q_kgat_attention(spark, sf_dir):
+    """F7 end-to-end: per-edge ``tanh(W_r e_h + e_r) . (W_r e_t)``
+    (KGAT-pytorch/model/KGAT.py:111-129) composed with the A10
+    per-destination softmax (helper.py:11-23), over a deterministic
+    lineitem-derived edge table and fixture embedding matrices."""
+    import numpy as np
+
+    from kgp.fixtures import attention_fixture
+    from kgp.stages.graph import edge_softmax, kgat_attention
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
+    ).distinct()
+    scored = kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w))
+    out = edge_softmax(scored)
+    return out.select(
+        "h", F.col("r").cast("long").alias("r"), "t",
+        F.round("score", 9).alias("score"), F.round("att", 9).alias("att"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # data-op queries (driver testdata views)
 # ---------------------------------------------------------------------------
 
@@ -453,6 +573,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_re_pairs": _q_re_pairs,
         "kg_coref_pairs": _q_coref_pairs,
         "kg_kgat_edges": _q_kgat_edges,
+        "kgat_attention": _q_kgat_attention,
+        # reference-format readers (S1-S7)
+        "read_semeval": _q_read_semeval,
+        "read_mrc": _q_read_mrc,
+        "read_ccks": _q_read_ccks,
+        "read_el_tsv": _q_read_el_tsv,
+        "read_cdn": _q_read_cdn,
+        "read_kg_triples": _q_read_kg_triples,
+        "read_cf_adjacency": _q_read_cf_adjacency,
+        "read_id_remap": _q_read_id_remap,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -480,8 +610,16 @@ def _el_thetas():
     return EL_SWEEP_THETAS
 
 
+def _kgat_attention_oracle() -> str:
+    from kgp.fixtures import attention_fixture
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    return oracles.kgat_attention_sql(ent, rel, w, _ATT_N_ENT, _ATT_N_REL)
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = ensure_fixtures(SF01)
+    rp = _reader_paths()
 
     def g(name):
         return os.path.join(fdir, f"{name}.parquet")
@@ -508,6 +646,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_re_pairs": oracles.re_pairs_sql(g("gold_mentions")),
         "kg_coref_pairs": oracles.coref_pairs_sql(g("gold_mentions"), CFG.coref_turn_window),
         "kg_kgat_edges": oracles.kgat_edges_sql(),
+        "kgat_attention": _kgat_attention_oracle(),
+        "read_semeval": oracles.read_semeval_sql(rp["semeval.jsonl"]),
+        "read_mrc": oracles.read_mrc_sql(rp["mrc_ner.json"]),
+        "read_ccks": oracles.read_ccks_sql(rp["ccks_ner.json"]),
+        "read_el_tsv": oracles.read_el_tsv_sql(rp["el_pairs.tsv"]),
+        "read_cdn": oracles.read_cdn_sql(rp["cdn.json"]),
+        "read_kg_triples": oracles.read_kg_triples_sql(rp["kg_final.txt"]),
+        "read_cf_adjacency": oracles.read_cf_adjacency_sql(rp["cf_train.txt"]),
+        "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),

@@ -313,6 +313,21 @@ def write_reference_format_fixtures(outdir: str) -> dict:
     return paths
 
 
+def attention_fixture(n_ent: int = 40, n_rel: int = 4, d: int = 8, d_r: int = 4):
+    """Deterministic KGAT embedding matrices for the F7 certification:
+    fixed integer arithmetic mapped to small rationals (no RNG, no
+    transcendentals in generation), so the Python floats shipped to the
+    pandas UDF and the repr() literals embedded in the DuckDB twin parse
+    to bit-identical doubles. -> (ent_emb, rel_emb, rel_w) nested lists."""
+    ent = [[((i * 31 + j * 17) % 97 - 48) / 48 for j in range(d)] for i in range(n_ent)]
+    rel = [[((i * 13 + j * 7) % 53 - 26) / 26 for j in range(d_r)] for i in range(n_rel)]
+    w = [
+        [[((i * 29 + j * 11 + k * 5) % 71 - 35) / 35 for k in range(d)] for j in range(d_r)]
+        for i in range(n_rel)
+    ]
+    return ent, rel, w
+
+
 def sanity_check_vocab(entities: list[Entity]) -> None:
     """Invariant: filler/trigger/gazetteer token sets are disjoint and every
     surface round-trips through the tokenizer unchanged."""

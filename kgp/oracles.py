@@ -425,6 +425,184 @@ WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# reference-format reader oracles (S1-S7): DuckDB re-parses the SAME raw
+# files the Spark readers scan, so the certified object is the PARSER
+# ---------------------------------------------------------------------------
+
+
+def read_semeval_sql(path: str) -> str:
+    """Twin of kgp.io.readers.read_semeval_jsonl's OK split (P3 filter:
+    the joined span tokens must equal the recorded name)."""
+    return f"""
+WITH raw AS (SELECT * FROM read_json('{path}', format='newline_delimited',
+  columns={{'token': 'VARCHAR[]',
+           'h': 'STRUCT(name VARCHAR, pos BIGINT[])',
+           't': 'STRUCT(name VARCHAR, pos BIGINT[])',
+           'relation': 'VARCHAR'}})),
+ d AS (SELECT array_to_string(token, ' ') AS sent,
+              struct_extract(h, 'name') AS head_name,
+              struct_extract(h, 'pos')[1] AS head_s,
+              struct_extract(h, 'pos')[2] AS head_e,
+              struct_extract(t, 'name') AS tail_name,
+              struct_extract(t, 'pos')[1] AS tail_s,
+              struct_extract(t, 'pos')[2] AS tail_e,
+              relation,
+              array_to_string(token[struct_extract(h, 'pos')[1] + 1 : struct_extract(h, 'pos')[2]], ' ') AS h_span,
+              array_to_string(token[struct_extract(t, 'pos')[1] + 1 : struct_extract(t, 'pos')[2]], ' ') AS t_span
+       FROM raw)
+SELECT sent, head_name, head_s, head_e, tail_name, tail_s, tail_e, relation
+FROM d WHERE h_span = head_name AND t_span = tail_name
+"""
+
+
+def read_mrc_sql(path: str) -> str:
+    """Twin of read_mrc_ner_json + span explode: qas_id '<sample>.<label>'
+    regroup, inclusive->exclusive end (+1)."""
+    return f"""
+WITH raw AS (SELECT * FROM read_json('{path}', format='array',
+  columns={{'context': 'VARCHAR', 'qas_id': 'VARCHAR', 'entity_label': 'VARCHAR',
+           'start_position': 'BIGINT[]', 'end_position': 'BIGINT[]',
+           'impossible': 'BOOLEAN'}})),
+ per AS (SELECT CAST(string_split(qas_id, '.')[1] AS BIGINT) AS sample_id,
+                context, entity_label AS label,
+                unnest(start_position) AS s, unnest(end_position) AS e
+         FROM raw)
+SELECT sample_id, context, s AS start, e + 1 AS "end", label FROM per
+"""
+
+
+def read_ccks_sql(path: str) -> str:
+    return f"""
+WITH raw AS (SELECT * FROM read_json('{path}', format='array',
+  columns={{'sentence': 'VARCHAR', 'labeled entities': 'VARCHAR[][]'}})),
+ ex AS (SELECT sentence, unnest("labeled entities") AS ent FROM raw)
+SELECT sentence, CAST(ent[1] AS BIGINT) AS start, CAST(ent[2] AS BIGINT) AS "end",
+       ent[3] AS label
+FROM ex
+"""
+
+
+def read_el_tsv_sql(path: str) -> str:
+    return f"""
+SELECT text_a, text_b, CAST(label AS BIGINT) AS label
+FROM read_csv('{path}', delim='\t', header=false,
+  columns={{'text_a': 'VARCHAR', 'text_b': 'VARCHAR', 'label': 'INTEGER'}})
+"""
+
+
+def read_cdn_sql(path: str) -> str:
+    return f"""
+SELECT trim(text) AS text,
+       unnest(string_split(normalized_result, '##')) AS gold_entity
+FROM read_json('{path}', format='array',
+  columns={{'text': 'VARCHAR', 'normalized_result': 'VARCHAR'}})
+"""
+
+
+def read_kg_triples_sql(path: str) -> str:
+    return f"""
+SELECT CAST(h AS BIGINT) AS h, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t
+FROM read_csv('{path}', delim=' ', header=false,
+  columns={{'h': 'BIGINT', 'r': 'INTEGER', 't': 'BIGINT'}})
+"""
+
+
+def read_cf_adjacency_sql(path: str) -> str:
+    """Twin of read_cf_adjacency: split 'user item item ...' lines, skip
+    blanks, per-user distinct items (np.unique, loader_kgat.py:59)."""
+    return f"""
+WITH lines AS (SELECT * FROM read_csv('{path}', delim='\x01', header=false,
+  columns={{'value': 'VARCHAR'}})),
+ p AS (SELECT string_split(trim(value), ' ') AS parts FROM lines
+       WHERE value IS NOT NULL AND length(trim(value)) > 0)
+SELECT CAST(parts[1] AS BIGINT) AS "user",
+       CAST(unnest(list_distinct(parts[2:])) AS BIGINT) AS item
+FROM p
+"""
+
+
+def read_id_remap_sql(path: str) -> str:
+    return f"""
+SELECT org_id, remap_id
+FROM read_csv('{path}', delim=' ', header=true,
+  columns={{'org_id': 'VARCHAR', 'remap_id': 'BIGINT'}})
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7 KGAT attention oracle
+# ---------------------------------------------------------------------------
+
+
+def _matrix_values(rows) -> str:
+    """VALUES rows (id, vector) with repr-round-tripping float literals."""
+    out = []
+    for i, vec in enumerate(rows):
+        lit = ", ".join(repr(float(v)) for v in vec)
+        out.append(f"({i}, [{lit}]::DOUBLE[])")
+    return ",\n  ".join(out)
+
+
+def _tensor_values(cube) -> str:
+    """VALUES rows (id, matrix) as DOUBLE[][] literals."""
+    out = []
+    for i, mat in enumerate(cube):
+        rows = ", ".join("[" + ", ".join(repr(float(v)) for v in row) + "]" for row in mat)
+        out.append(f"({i}, [{rows}]::DOUBLE[][])")
+    return ",\n  ".join(out)
+
+
+def kgat_attention_sql(ent_emb, rel_emb, rel_w, n_ent: int, n_rel: int) -> str:
+    """Twin of kgp.stages.graph.kgat_attention composed with edge_softmax
+    over the deterministic lineitem-derived edge table:
+    ``score = tanh(W_r e_h + e_r) . (W_r e_t)`` (KGAT.py:111-129),
+    ``att = exp(score) / sum_t exp(score)`` (helper.py:11-23). Both
+    engines fold the d-dim dot products in index order; score/att rounded
+    to 9 dp (einsum uses pairwise summation — the only engine difference
+    is sum-order float jitter ~1e-15)."""
+    d = len(ent_emb[0])
+    dr = len(rel_emb[0])
+    wh = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * eh[j]), 'sum')"
+    )
+    wt = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * et[j]), 'sum')"
+    )
+    # DuckDB 1.0.0 has no tanh(): (exp(2x)-1)/(exp(2x)+1) is exact enough
+    # (the 9-dp rounding absorbs the <=1e-15 formulation difference)
+    tanh_arg = f"({wh} + er[i])"
+    tanh = f"((exp(2 * {tanh_arg}) - 1) / (exp(2 * {tanh_arg}) + 1))"
+    score = (
+        f"list_aggregate(list_transform(range(1, {dr} + 1), "
+        f"i -> {tanh} * {wt}), 'sum')"
+    )
+    return f"""
+WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
+  {_matrix_values(ent_emb)}) v(col0, col1)),
+ rel AS (SELECT col0 AS id, col1 AS er FROM (VALUES
+  {_matrix_values(rel_emb)}) v(col0, col1)),
+ w AS (SELECT col0 AS id, col1 AS wr FROM (VALUES
+  {_tensor_values(rel_w)}) v(col0, col1)),
+ edges AS (SELECT DISTINCT l_suppkey % {n_ent} AS h, l_linenumber % {n_rel} AS r,
+                  l_partkey % {n_ent} AS t FROM lineitem),
+ scored AS (SELECT edges.h, edges.r, edges.t,
+                   {score} AS score
+            FROM edges
+            JOIN ent eh_t ON eh_t.id = edges.h
+            JOIN ent et_t ON et_t.id = edges.t
+            JOIN rel ON rel.id = edges.r
+            JOIN w ON w.id = edges.r,
+            LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
+ z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t)
+SELECT CAST(s.h AS BIGINT) AS h, CAST(s.r AS BIGINT) AS r, CAST(s.t AS BIGINT) AS t,
+       round(s.score, 9) AS score, round(exp(s.score) / z.z, 9) AS att
+FROM scored s JOIN z ON s.t = z.t
+"""
+
+
 def el_threshold_sweep_sql(candidates_path: str, links_path: str, thetas) -> str:
     """Mirrors kgp.stages.linking.threshold_sweep over the materialized
     gold candidate/link tables (the Spark side sweeps the live pipeline's
