@@ -162,7 +162,9 @@ def oracle_links(
             tw_s = sum(w(g) for g in sg)
             scored = []
             for alias, eid, ag in alias_grams:
-                ov_w = sum(w(g) for g in sg & ag)
+                # stop-gram cap parity (linking.py): w==1 grams are
+                # excluded from candidate overlap, kept in denominators
+                ov_w = sum(w(g) for g in sg & ag if w(g) > 1)
                 if ov_w:
                     scored.append((ov_w / (tw_s + tw_a[alias] - ov_w), eid, alias))
             scored.sort(key=lambda x: (-x[0], x[1], x[2]))

@@ -115,11 +115,20 @@ def positive_edges(scored_pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
     )
 
 
+def _auto_buckets(n_rows: int, cfg: PipelineConfig) -> int:
+    """Bucket count that keeps the per-task pandas frame bounded by
+    ``cfg.uf_max_bucket_rows`` at any input size (never below
+    ``cfg.cc_buckets``)."""
+    need = -(-max(n_rows, 1) // cfg.uf_max_bucket_rows)  # ceil div
+    return max(cfg.cc_buckets, need)
+
+
 def cluster_unionfind(
     mentions: DataFrame,
     edges: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     n_buckets: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Bucketed per-conversation union-find (cogroup on a conv_id hash
     bucket).
@@ -135,15 +144,33 @@ def cluster_unionfind(
     *pairs* upstream, and a single conversation's mentions always fit —
     same argument as the per-conv variant).
 
-    Per-task memory is O(|mentions| / n_buckets) — it grows with input at
-    a fixed bucket count, so ``n_buckets`` (default ``cfg.cc_buckets``)
-    should scale with expected input size; beyond what one task's pandas
-    frame can hold, :func:`cluster_hashmin` is the required path (no task
-    ever holds a whole bucket or component there).
+    Per-task memory is O(|mentions| / n_buckets): when ``n_buckets`` is
+    not given it is DERIVED from the input size (``n_rows_hint`` if the
+    caller already knows it, else one count job over the — typically
+    checkpointed — mention table) as
+    ``max(cfg.cc_buckets, ceil(n / cfg.uf_max_bucket_rows))``, so scaling
+    the input 100x scales the bucket count, not the per-task frame.
+    The residual unsplittable unit is a SINGLE conversation (bucket =
+    hash(conv_id)); a conversation so hot that its mentions alone exceed
+    4x the bound fails loudly inside the task, naming
+    :func:`cluster_hashmin` (no task ever holds a whole component there)
+    instead of dying in an opaque executor OOM.
     """
-    nb = n_buckets or cfg.cc_buckets
+    if n_buckets is not None:
+        nb = n_buckets
+    else:
+        n = n_rows_hint if n_rows_hint is not None else mentions.count()
+        nb = _auto_buckets(n, cfg)
+    hard_cap = 4 * cfg.uf_max_bucket_rows
 
     def uf(key, mention_pdfs: pd.DataFrame, edge_pdfs: pd.DataFrame) -> pd.DataFrame:
+        if len(mention_pdfs) > hard_cap:
+            raise RuntimeError(
+                f"union-find bucket {key} holds {len(mention_pdfs)} mentions "
+                f"(> 4 x uf_max_bucket_rows={hard_cap // 4}): a single "
+                "conversation exceeds the per-task bound — use "
+                "kgp.stages.coref.cluster_hashmin for this input"
+            )
         parent: dict = {}
 
         def find(x):

@@ -75,11 +75,25 @@ def _ngram_explode(df: DataFrame, col: str, n: int) -> DataFrame:
 
 
 def link_clusters(
-    surfaces: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+    surfaces: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    on_drop=None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (links, candidates). links: one best entity per cluster.
 
     alias_dict: (entity_name, alias, code, entity_id) — broadcast dim.
+
+    STOP-GRAM CAP (mirrors ``kgp.ops.dedup.max_shingle_df`` semantics): a
+    gram at the IDF floor (w == 1, i.e. present in >= 2^15 distinct
+    aliases) is dropped from CANDIDATE GENERATION — its posting list
+    multiplies the recall join's rows by its document frequency while
+    contributing the minimum weight to every score. Denominators
+    (``tw_s``/``tw_a``) still count dropped grams exactly, so the cap is
+    conservative: overlap can only be undercounted, a candidate whose sole
+    shared grams are stop-grams is simply never generated (it could never
+    outrank one sharing any informative gram). Never silent:
+    ``on_drop(n_stop_grams)`` fires when a callable is supplied.
     """
     n = cfg.ngram_size
     alias_norm = alias_dict.select(F.lower(F.trim("alias")).alias("alias"), "entity_id")
@@ -115,7 +129,13 @@ def link_clusters(
     )
     aw = agrams.join(F.broadcast(wtab), "gram")
     tw_a = aw.groupBy("alias").agg(F.sum("w").alias("tw_a"))
-    posting = aw.join(F.broadcast(alias_norm), "alias").join(F.broadcast(tw_a), "alias")
+    if on_drop is not None:
+        on_drop(wtab.where(F.col("w") <= 1).count())
+    posting = (
+        aw.where(F.col("w") > 1)  # stop-gram cap: see docstring
+        .join(F.broadcast(alias_norm), "alias")
+        .join(F.broadcast(tw_a), "alias")
+    )
     m_grams = _ngram_explode(misses, "surface", n).select(
         "surface", F.explode("grams").alias("gram")
     )

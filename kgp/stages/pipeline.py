@@ -28,19 +28,19 @@ from kgp.stages.relations import classify_relations
 from kgp.stages.triples import assemble_triples
 
 
-def _checkpoint_concurrently(*dfs: DataFrame) -> list[DataFrame]:
-    """Eagerly localCheckpoint several independent DataFrames, submitting
-    each from its own driver thread so their jobs run concurrently under
-    the FAIR scheduler. Threads (not async handles) because
-    localCheckpoint is a blocking action; exceptions propagate."""
+def _run_concurrently(spark: SparkSession, *thunks) -> list:
+    """Run several independent build-and-materialize thunks, each from its
+    own driver thread so their Spark jobs interleave under the FAIR
+    scheduler. Threads (not async handles) because actions block;
+    exceptions propagate through the pool."""
     import concurrent.futures
 
-    if len(dfs) == 1:
-        return [dfs[0].localCheckpoint()]
+    if len(thunks) == 1:
+        return [thunks[0]()]
 
-    def ckpt(i_df):
-        i, df = i_df
-        sc = df.sparkSession.sparkContext
+    def run(i_thunk):
+        i, thunk = i_thunk
+        sc = spark.sparkContext
         # distinct on-demand pools: with scheduler.mode=FAIR the cross-pool
         # policy is fair sharing, so neither branch's tasks queue behind
         # the other's (within one pool the default policy is still FIFO).
@@ -48,12 +48,12 @@ def _checkpoint_concurrently(*dfs: DataFrame) -> list[DataFrame]:
         # default on), so the local property scopes to this thread's jobs.
         sc.setLocalProperty("spark.scheduler.pool", f"kgp-branch-{i}")
         try:
-            return df.localCheckpoint()
+            return thunk()
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return list(pool.map(ckpt, enumerate(dfs)))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return list(pool.map(run, enumerate(thunks)))
 
 
 @dataclass
@@ -102,17 +102,22 @@ def run_pipeline(
     turn_tokens = pair_turn_tokens(tagged)
 
     # The relation branch (pair join + classifier) and the coref branch
-    # (pair scoring + union-find) are INDEPENDENT given `tagged`: their
-    # checkpoints are submitted from two driver threads (FAIR scheduler,
-    # kgp/session.py) so their jobs interleave. Neither branch saturates
-    # the executor at every instant (shuffle barriers, AQE replanning,
-    # Arrow batch tails); overlapping them fills those gaps — a pure win
-    # at N>1 cores, a no-op at 1 core. Both subtrees read only the
-    # already-materialized `tagged`, so no producer can be re-run.
-    relations_df = classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg)
-    scored_pairs = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-    clusters_df = cluster_unionfind(mentions, positive_edges(scored_pairs, cfg), cfg)
-    relations, clusters = _checkpoint_concurrently(relations_df, clusters_df)
+    # (mention count for bucket sizing + pair scoring + union-find) are
+    # INDEPENDENT given `tagged`: each is built AND materialized inside
+    # its own driver thread (FAIR scheduler, kgp/session.py) so their jobs
+    # interleave. Neither branch saturates the executor at every instant
+    # (shuffle barriers, AQE replanning, Arrow batch tails); overlapping
+    # them fills those gaps — a pure win at N>1 cores, a no-op at 1 core.
+    # Both subtrees read only the already-materialized `tagged`, so no
+    # producer can be re-run.
+    def _relations_branch():
+        return classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg).localCheckpoint()
+
+    def _coref_branch():
+        scored = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
+        return cluster_unionfind(mentions, positive_edges(scored, cfg), cfg).localCheckpoint()
+
+    relations, clusters = _run_concurrently(spark, _relations_branch, _coref_branch)
 
     links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
     triples = assemble_triples(relations, clusters, links).localCheckpoint()

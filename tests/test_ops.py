@@ -275,3 +275,50 @@ def test_minhash_bucket_cap(spark):
 
     full = minhash_lsh_pairs(docs, k=16, bands=4, max_bucket_size=None)
     assert full.count() == 30 * 29 // 2 + 1  # the quadratic set the cap avoids
+
+
+def test_real_decode_ppm_wav_roundtrip():
+    from kgp.ops.multimodal import decode_audio, decode_image, make_ppm, make_wav
+
+    img = decode_image(make_ppm(8, 6, seed=3))
+    assert img.shape == (6, 8, 3) and img.dtype == np.uint8
+    # raster formula round-trips: byte k = (k*31 + seed*17) % 251
+    idx = np.arange(8 * 6 * 3, dtype=np.int64)
+    assert (img.reshape(-1) == ((idx * 31 + 3 * 17) % 251).astype(np.uint8)).all()
+    # comment + whitespace tolerance is part of the netpbm spec
+    assert decode_image(b"P6 # c\n# full line comment\n 2\t3\n255\n" + bytes(18)).shape == (3, 2, 3)
+
+    samples, rate = decode_audio(make_wav(500, rate=8000, channels=2, seed=1))
+    assert samples.shape == (500, 2) and samples.dtype == np.dtype("<i2") and rate == 8000
+
+
+def test_extract_features_real_decoders(spark):
+    from kgp.ops.multimodal import MEDIA_SCHEMA, extract_features, make_ppm, make_wav
+
+    rows = [
+        {"media_id": 0, "kind": "image", "content": bytearray(make_ppm(16, 12, seed=0)),
+         "width": 16, "height": 12, "sample_rate": None, "duration_ms": None},
+        {"media_id": 1, "kind": "image", "content": bytearray(make_ppm(4, 4, seed=9)),
+         "width": 4, "height": 4, "sample_rate": None, "duration_ms": None},
+        {"media_id": 2, "kind": "audio", "content": bytearray(make_wav(1000, seed=2)),
+         "width": None, "height": None, "sample_rate": 16000, "duration_ms": None},
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, use_stub=False).collect()}
+    assert set(feats) == {0, 1, 2} and all(len(v) == 8 for v in feats.values())
+    # image features are the actual per-channel means of the decoded raster
+    from kgp.ops.multimodal import decode_image
+
+    img = decode_image(make_ppm(16, 12, seed=0)).astype(np.float64)
+    np.testing.assert_allclose(feats[0][:3], img.mean(axis=(0, 1)), rtol=1e-5)
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, use_stub=False).collect()}
+    assert again == feats
+    # compressed payloads still hit the stub boundary loudly
+    bad = spark.createDataFrame(
+        [{"media_id": 9, "kind": "image", "content": bytearray(b"\x89PNG...."),
+          "width": None, "height": None, "sample_rate": None, "duration_ms": None}],
+        schema=MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|compressed image"):
+        extract_features(bad, use_stub=False).collect()

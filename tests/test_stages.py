@@ -152,3 +152,69 @@ def test_idf_recall_ranking_on_skewed_dictionary(spark):
     links, _ = link_clusters(surfaces, alias_dict, cfg)
     got = links.collect()
     assert len(got) == 1 and got[0]["entity_id"] == "E-target"
+
+
+def test_unionfind_auto_buckets_and_hard_cap(spark, mention_graph):
+    """n_buckets derives from input size (per-task frame bounded at any
+    scale); a single conversation blowing past 4x the bound fails LOUDLY,
+    naming cluster_hashmin, instead of an opaque executor OOM."""
+    from kgp.config import PipelineConfig
+    from kgp.stages.coref import _auto_buckets, cluster_unionfind
+
+    cfg = PipelineConfig()
+    assert _auto_buckets(1, cfg) == cfg.cc_buckets
+    assert _auto_buckets(cfg.uf_max_bucket_rows * 1000, cfg) == 1000
+    # 100x input -> 100x buckets, per-task frame unchanged
+    assert _auto_buckets(cfg.uf_max_bucket_rows * 100_000, cfg) == 100 * _auto_buckets(
+        cfg.uf_max_bucket_rows * 1000, cfg
+    )
+
+    mentions, edges = mention_graph
+    # force the derived path to actually bind: 9 mentions, 2 rows/bucket
+    # -> 256 buckets floor wins, but with a tiny floor the derivation wins
+    small = PipelineConfig(cc_buckets=2, uf_max_bucket_rows=3)
+    got = {
+        (r["mention_id"], r["cluster_id"])
+        for r in cluster_unionfind(mentions, edges, small).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7), (10, 10), (11, 10)}
+    assert got == want
+
+    # a conversation whose mentions alone exceed 4x the bound: loud failure
+    tiny = PipelineConfig(cc_buckets=2, uf_max_bucket_rows=1)
+    with pytest.raises(Exception, match="cluster_hashmin"):
+        cluster_unionfind(mentions, edges, tiny).collect()
+
+
+def test_stop_gram_cap_in_recall_join(spark):
+    """J1 stop-gram cap: grams at the IDF floor (w == 1, df >= 2^15
+    aliases) are cut from candidate generation. On a dictionary where
+    33k aliases share a boilerplate suffix, the cap (a) fires on_drop
+    with the floor-gram count, (b) kills candidates whose ONLY overlap is
+    boilerplate, (c) leaves the informative-gram ranking untouched."""
+    from pyspark.sql import functions as F
+
+    from kgp.config import PipelineConfig
+    from kgp.stages.linking import link_clusters
+
+    n_boiler = 33000  # > 2^15 distinct aliases containing the suffix grams
+    aliases = [(f"q{i:05d} zzz", f"E-{i}") for i in range(n_boiler)]
+    aliases.append(("kalzuqir holdings", "E-target"))
+    alias_dict = spark.createDataFrame(
+        [(a, a, "c", eid) for a, eid in aliases],
+        "entity_name string, alias string, code string, entity_id string",
+    )
+    surfaces = spark.createDataFrame(
+        [(1, "kalzuqir holding co"), (2, "wwww zzz")],
+        "cluster_id long, surface string",
+    )
+    dropped = []
+    cfg = PipelineConfig(recall_top_k=3, link_threshold=0.0)
+    links, candidates = link_clusters(surfaces, alias_dict, cfg, on_drop=dropped.append)
+    cand = candidates.collect()
+    assert dropped and dropped[0] > 0
+    # surface 2 shares ONLY the boilerplate ' zzz' grams -> never generated
+    assert not [r for r in cand if r["surface"] == "wwww zzz"]
+    # surface 1 shares rare grams -> still ranked to the true entity
+    got = {r["cluster_id"]: r["entity_id"] for r in links.collect()}
+    assert got == {1: "E-target"}  # cluster 2's only overlap was capped away
