@@ -94,6 +94,55 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
     for name in bench_queries:
         timed(name, lambda fn=qs[name]: fn(spark, sf_dir).count())
 
+    if not pipeline_only:
+        # io path at bench scale (VERDICT r2 item 9): the reference's text
+        # sink/scan formats round-trip over the 600k-row lineitem — EL pair
+        # TSV (S4, eval_el data format) written by Spark and re-parsed by
+        # read_el_pairs_tsv, and space-separated triple text (S6,
+        # loader_kgat kg_final.txt) re-parsed by read_kg_triples.
+        import shutil
+        import tempfile
+
+        from kgp.io.readers import read_el_pairs_tsv, read_kg_triples
+
+        def io_roundtrip():
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            tmp = tempfile.mkdtemp(prefix="kgp-io-")
+            try:
+                tsv = os.path.join(tmp, "el_pairs_tsv")
+                (
+                    li.select(
+                        F.format_string(
+                            "flag %s status %s shipped %s qty %s",
+                            "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+                        ).alias("text_a"),
+                        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("text_b"),
+                        (F.col("l_linenumber") % 2).cast("int").alias("label"),
+                    )
+                    .write.mode("overwrite")
+                    .option("sep", "\t")
+                    .csv(tsv)
+                )
+                n = read_el_pairs_tsv(spark, tsv).count()
+                tri = os.path.join(tmp, "kg_final_txt")
+                (
+                    li.select(
+                        F.concat_ws(
+                            " ",
+                            "l_orderkey",
+                            (F.col("l_linenumber") % 32).cast("int"),
+                            "l_partkey",
+                        ).alias("value")
+                    )
+                    .write.mode("overwrite")
+                    .text(tri)
+                )
+                return n + read_kg_triples(spark, tri).count()
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        timed("io_text_roundtrip", io_roundtrip)
+
     spark.stop()
     e2e = timings["kg_pipeline_e2e"]
     result = {

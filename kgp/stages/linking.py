@@ -74,15 +74,36 @@ def _ngram_explode(df: DataFrame, col: str, n: int) -> DataFrame:
     ).withColumn("n_grams", F.size("grams"))
 
 
-def link_clusters(
-    surfaces: DataFrame,
+class AliasArtifacts:
+    """Dictionary-side tables of the linking stage — computed from
+    ``alias_dict`` ALONE, so the pipeline can build (and materialize) them
+    concurrently with the relation/coref branches instead of on the
+    critical path after clustering.
+
+    alias_norm: (alias, entity_id) normalized dictionary;
+    wtab:       (gram, w) integer IDF weights over the alias gram space;
+    posting:    capped posting list (gram, alias, w, entity_id, tw_a).
+    """
+
+    def __init__(self, alias_norm: DataFrame, wtab: DataFrame, posting: DataFrame):
+        self.alias_norm = alias_norm
+        self.wtab = wtab
+        self.posting = posting
+
+
+def build_alias_artifacts(
     alias_dict: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     on_drop=None,
-) -> tuple[DataFrame, DataFrame]:
-    """-> (links, candidates). links: one best entity per cluster.
+    materialize: bool = False,
+) -> AliasArtifacts:
+    """Build the linking dictionary artifacts (see :class:`AliasArtifacts`).
 
-    alias_dict: (entity_name, alias, code, entity_id) — broadcast dim.
+    IDF weights: df(g) = number of distinct aliases containing gram g;
+    w(g) = max(1, 16 - floor(log2 df)) (surface grams absent from the
+    dictionary get the max weight 16). Integer weights keep every score an
+    exact rational — ranking can't drift with float summation order
+    between engine and oracle.
 
     STOP-GRAM CAP (mirrors ``kgp.ops.dedup.max_shingle_df`` semantics): a
     gram at the IDF floor (w == 1, i.e. present in >= 2^15 distinct
@@ -94,9 +115,55 @@ def link_clusters(
     shared grams are stop-grams is simply never generated (it could never
     outrank one sharing any informative gram). Never silent:
     ``on_drop(n_stop_grams)`` fires when a callable is supplied.
+
+    ``materialize=True`` eagerly localCheckpoints each artifact (alias-dim
+    sized — tiny next to the data): plan truncation for the big linking
+    query, and the build cost moves off the critical path into whatever
+    window the caller runs this in.
     """
     n = cfg.ngram_size
     alias_norm = alias_dict.select(F.lower(F.trim("alias")).alias("alias"), "entity_id")
+    aliases_u = alias_norm.select("alias").distinct()
+    agrams = _ngram_explode(aliases_u, "alias", n).select(
+        "alias", F.explode("grams").alias("gram")
+    )
+    wtab = agrams.groupBy("gram").agg(
+        F.greatest(F.lit(1), F.lit(16) - F.floor(F.log2(F.count("*")))).cast("long").alias("w")
+    )
+    aw = agrams.join(F.broadcast(wtab), "gram")
+    tw_a = aw.groupBy("alias").agg(F.sum("w").alias("tw_a"))
+    if on_drop is not None:
+        on_drop(wtab.where(F.col("w") <= 1).count())
+    posting = (
+        aw.where(F.col("w") > 1)  # stop-gram cap: see docstring
+        .join(F.broadcast(alias_norm), "alias")
+        .join(F.broadcast(tw_a), "alias")
+    )
+    if materialize:
+        alias_norm = alias_norm.localCheckpoint()
+        wtab = wtab.localCheckpoint()
+        posting = posting.localCheckpoint()
+    return AliasArtifacts(alias_norm, wtab, posting)
+
+
+def link_clusters(
+    surfaces: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    on_drop=None,
+    artifacts: AliasArtifacts | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (links, candidates). links: one best entity per cluster.
+
+    alias_dict: (entity_name, alias, code, entity_id) — broadcast dim.
+    ``artifacts``: pre-built dictionary tables (see
+    :func:`build_alias_artifacts`, where the stop-gram-cap semantics are
+    documented); computed inline from ``alias_dict`` when not supplied.
+    """
+    n = cfg.ngram_size
+    if artifacts is None:
+        artifacts = build_alias_artifacts(alias_dict, cfg, on_drop=on_drop)
+    alias_norm, wtab, posting = artifacts.alias_norm, artifacts.wtab, artifacts.posting
 
     # Recall + scoring run per DISTINCT surface, not per (cluster, surface):
     # distinct surfaces are bounded by vocabulary while cluster rows grow
@@ -114,27 +181,6 @@ def link_clusters(
     # --- stage 2: ngram recall join for the misses (J1) ---
     misses = surf.join(
         F.broadcast(alias_norm), surf["surface"] == alias_norm["alias"], "left_anti"
-    )
-    # IDF weights over the alias dictionary's gram space: df(g) = number
-    # of distinct aliases containing gram g; w(g) = max(1, 16 -
-    # floor(log2 df)) (surface grams absent from the dictionary get the
-    # max weight 16). recall_score = weighted Jaccard
-    # ov_w / (tw_s + tw_a - ov_w) over integer weight sums.
-    aliases_u = alias_norm.select("alias").distinct()
-    agrams = _ngram_explode(aliases_u, "alias", n).select(
-        "alias", F.explode("grams").alias("gram")
-    )
-    wtab = agrams.groupBy("gram").agg(
-        F.greatest(F.lit(1), F.lit(16) - F.floor(F.log2(F.count("*")))).cast("long").alias("w")
-    )
-    aw = agrams.join(F.broadcast(wtab), "gram")
-    tw_a = aw.groupBy("alias").agg(F.sum("w").alias("tw_a"))
-    if on_drop is not None:
-        on_drop(wtab.where(F.col("w") <= 1).count())
-    posting = (
-        aw.where(F.col("w") > 1)  # stop-gram cap: see docstring
-        .join(F.broadcast(alias_norm), "alias")
-        .join(F.broadcast(tw_a), "alias")
     )
     m_grams = _ngram_explode(misses, "surface", n).select(
         "surface", F.explode("grams").alias("gram")

@@ -21,7 +21,7 @@ from kgp.stages.coref import (
     score_coref_pairs,
 )
 from kgp.stages.graph import materialize_graph
-from kgp.stages.linking import cluster_surfaces, link_clusters
+from kgp.stages.linking import build_alias_artifacts, cluster_surfaces, link_clusters
 from kgp.stages.mentions import mentions_from_tagged, pair_turn_tokens, tag_turns
 from kgp.stages.pairs import coref_pairs, re_pairs
 from kgp.stages.relations import classify_relations
@@ -117,9 +117,22 @@ def run_pipeline(
         scored = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
         return cluster_unionfind(mentions, positive_edges(scored, cfg), cfg).localCheckpoint()
 
-    relations, clusters = _run_concurrently(spark, _relations_branch, _coref_branch)
+    def _alias_branch():
+        # linking's dictionary side depends on the alias dim ALONE: build
+        # and pin it here, inside the branch window, so the gram-explode /
+        # IDF / posting jobs run in scheduler gaps the other branches leave
+        # instead of serially on the post-clustering critical path — and
+        # the big linking query analyzes against three tiny checkpointed
+        # leaves instead of the whole dictionary subtree.
+        return build_alias_artifacts(model.alias_dict, cfg, materialize=True)
 
-    links, candidates = link_clusters(cluster_surfaces(clusters, mentions), model.alias_dict, cfg)
+    relations, clusters, alias_art = _run_concurrently(
+        spark, _relations_branch, _coref_branch, _alias_branch
+    )
+
+    links, candidates = link_clusters(
+        cluster_surfaces(clusters, mentions), model.alias_dict, cfg, artifacts=alias_art
+    )
     triples = assemble_triples(relations, clusters, links).localCheckpoint()
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {

@@ -126,3 +126,65 @@ def test_bucket_granular_resume(spark, tmp_path):
     df4 = log.run_stage(spark, "s", "fp2", build)
     assert sorted(tuple(r) for r in df4.drop("bucket").collect()) == snap1
     assert all(e["input"] == "fp2" for e in log.read_bucket_progress("s").values())
+
+
+def test_crash_between_write_and_progress_commit(spark, tmp_path):
+    """Fault injection in the §4.3 commit protocol's worst window: the
+    bucket parquet files land but the process dies BEFORE the progress map
+    commits. The orphaned output has unknown provenance — resume must
+    hard-reset it (never trust dirs without progress entries), and a
+    resume under a CHANGED input must not let any stale bucket survive
+    dynamic partition overwrite (a no-rows-under-new-input bucket would
+    otherwise be silently kept and counted)."""
+    from kgp.lineage import LineageLog
+
+    root = str(tmp_path / "cr")
+    log = LineageLog(root, n_buckets=8)
+
+    def build_v1():
+        return spark.createDataFrame(
+            [(f"conv-{i:03d}", i, "v1") for i in range(200)],
+            "conv_id string, turn_idx int, payload string",
+        )
+
+    def build_v2():
+        # v2 input: only 40 conversations -> most buckets hold FEWER rows,
+        # and rows are distinguishable from v1's
+        return spark.createDataFrame(
+            [(f"conv-{i:03d}", i, "v2") for i in range(40)],
+            "conv_id string, turn_idx int, payload string",
+        )
+
+    # crash run: parquet write succeeds, progress commit never happens
+    real_commit = log._write_bucket_progress
+    log._write_bucket_progress = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before progress commit")
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        log.run_stage(spark, "s", "fp-v1", build_v1)
+    log._write_bucket_progress = real_commit
+    out = log.data_path("s")
+    assert os.path.isdir(out)  # orphaned parquet really is on disk
+    assert log.read_bucket_progress("s") == {}  # ...with no provenance
+
+    # resume under a CHANGED fingerprint: no stale v1 row may survive
+    df = log.run_stage(spark, "s", "fp-v2", build_v2)
+    got = sorted(tuple(r) for r in df.drop("bucket").collect())
+    assert got == sorted((f"conv-{i:03d}", i, "v2") for i in range(40))
+    m = json.load(open(os.path.join(root, "_lineage", "s.json")))
+    assert m["rows_out"] == 40  # part_metrics counted no orphaned bucket
+
+    # same crash, then resume under the SAME fingerprint: full rebuild,
+    # output identical to an uncrashed run
+    log2 = LineageLog(str(tmp_path / "cr2"), n_buckets=8)
+    real2 = log2._write_bucket_progress
+    log2._write_bucket_progress = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before progress commit")
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        log2.run_stage(spark, "s", "fp-v1", build_v1)
+    log2._write_bucket_progress = real2
+    df2 = log2.run_stage(spark, "s", "fp-v1", build_v1)
+    want = sorted(tuple(r) for r in build_v1().collect())
+    assert sorted(tuple(r) for r in df2.drop("bucket").select("conv_id", "turn_idx", "payload").collect()) == want
+    assert len(log2.read_bucket_progress("s")) == 8

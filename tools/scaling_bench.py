@@ -43,13 +43,21 @@ def loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def wait_for_calm(threshold: float = 4.0, max_wait_s: int = 600) -> None:
+def wait_for_calm(threshold: float | None = None, max_wait_s: int | None = None) -> None:
     """Co-tenant load arrives in minutes-scale bursts; measuring through a
     burst is pure noise. Wait (bounded) for a calm 1-min loadavg before
     each run — the recorded loadavg still exposes any run that couldn't
     get a calm window."""
     import time
 
+    # SCALE_CALM_LOAD tightens the gate: legs at loadavg 2-3 measured up to
+    # 25% slower than calm-window legs of the same configuration, and the
+    # efficiency ratio is hypersensitive to asymmetric contention between
+    # the paired legs
+    if threshold is None:
+        threshold = float(os.environ.get("SCALE_CALM_LOAD", "4.0"))
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("SCALE_CALM_WAIT", "600"))
     waited = 0
     while loadavg() > threshold and waited < max_wait_s:
         time.sleep(30)
