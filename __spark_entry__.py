@@ -172,6 +172,85 @@ def _q_metric_ann_recall(spark, sf_dir):
     )
 
 
+def _q_metric_el_micro_prf(spark, sf_dir):
+    """A6: micro P/R/F1 (eval_el.py:309-346 global tp/np/nt accumulation)
+    of the live pipeline's EL candidate set against the gold link set —
+    candidates over-generate (top-k per cluster), so precision < 1 while
+    recall stays 1.0: the counting machinery is exercised on a real
+    disagreement, not an identity."""
+    from kgp.metrics import micro_prf_df
+
+    pred = (
+        _pipeline_outputs(spark, sf_dir)["link_candidates"]
+        .select("cluster_id", "entity_id")
+        .distinct()
+    )
+    gold = _gold(spark, sf_dir, "gold_links").select("cluster_id", "entity_id").distinct()
+    return micro_prf_df(pred, gold, ["cluster_id", "entity_id"])
+
+
+def _q_metric_frame_acc(spark, sf_dir):
+    """A8: sentence-frame accuracy (CRF/metrics_utils.py:17-35 "all slots
+    correct") of a deterministically perturbed mention table against the
+    CRF gold. The perturbation — drop spans with
+    (start*31 + end*7 + turn_idx) % 10 == 0, relabel those ≡ 1 to PER —
+    is pure arithmetic applied identically by both engines, so the frame
+    join/count machinery is certified on frames that genuinely disagree."""
+    from kgp.metrics import frame_accuracy_df
+
+    gold = _gold(spark, sf_dir, "gold_mentions").select(
+        "conv_id", "turn_idx", "start", "end", "label"
+    )
+    h = F.col("start") * 31 + F.col("end") * 7 + F.col("turn_idx")
+    pred = (
+        _gold(spark, sf_dir, "gold_mentions_biaffine")
+        .where(h % 10 != 0)
+        .select(
+            "conv_id", "turn_idx", "start", "end",
+            F.when(h % 10 == 1, F.lit("PER")).otherwise(F.col("label")).alias("label"),
+        )
+    )
+    return frame_accuracy_df(pred, gold, keys=("conv_id", "turn_idx"))
+
+
+def _q_metric_re_prior_acc(spark, sf_dir):
+    """A9: classification accuracy (utils.py:61-65 ``(preds==labels).mean()``)
+    of a label-pair-prior relation predictor — per (head_label, tail_label)
+    the most frequent rel_id, ties to the smaller id — evaluated against
+    the LIVE pipeline's emitted relations joined to the live mention labels
+    (the oracle runs the same evaluation over the gold parquet, so relation
+    and mention emission parity is re-checked through this lens)."""
+    from pyspark.sql import Window
+
+    out = _pipeline_outputs(spark, sf_dir)
+    m = out["mentions"].select("mention_id", "label")
+    lab = (
+        out["relations"]
+        .select("head_mention_id", "tail_mention_id", "rel_id")
+        .join(m.select(F.col("mention_id").alias("head_mention_id"),
+                       F.col("label").alias("head_label")), "head_mention_id")
+        .join(m.select(F.col("mention_id").alias("tail_mention_id"),
+                       F.col("label").alias("tail_label")), "tail_mention_id")
+        .select("head_label", "tail_label", "rel_id")
+    )
+    w = Window.partitionBy("head_label", "tail_label").orderBy(
+        F.desc("cnt"), F.asc("rel_id")
+    )
+    prior = (
+        lab.groupBy("head_label", "tail_label", "rel_id")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("head_label", "tail_label", F.col("rel_id").alias("prior_rel"))
+    )
+    scored = lab.join(F.broadcast(prior), ["head_label", "tail_label"])
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("rel_id") == F.col("prior_rel")).cast("long")).alias("n_correct"),
+        F.avg((F.col("rel_id") == F.col("prior_rel")).cast("double")).alias("accuracy"),
+    )
+
+
 def _q_relations(spark, sf_dir):
     r = _pipeline_outputs(spark, sf_dir)["relations"]
     return r.select(
@@ -564,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_subtok": _q_mentions_subtok,
         "metric_span_prf": _q_metric_span_prf,
         "metric_ann_recall": _q_metric_ann_recall,
+        "metric_el_micro_prf": _q_metric_el_micro_prf,
+        "metric_frame_acc": _q_metric_frame_acc,
+        "metric_re_prior_acc": _q_metric_re_prior_acc,
         "kg_relations": _q_relations,
         "kg_clusters": _q_clusters,
         "kg_links": _q_links,
@@ -635,6 +717,15 @@ def oracle_sql() -> dict[str, str]:
             g("gold_mentions_biaffine"), g("gold_mentions")
         ),
         "metric_ann_recall": oracles.metric_ann_recall_sql(5, 10, 6, 4, 64, 42),
+        "metric_el_micro_prf": oracles.metric_micro_prf_sql(
+            g("gold_candidates"), g("gold_links")
+        ),
+        "metric_frame_acc": oracles.metric_frame_acc_sql(
+            g("gold_mentions_biaffine"), g("gold_mentions")
+        ),
+        "metric_re_prior_acc": oracles.metric_re_prior_acc_sql(
+            g("gold_relations"), g("gold_mentions")
+        ),
         "kg_relations": oracles.gold_sql(g("gold_relations")),
         "kg_clusters": oracles.gold_sql(g("gold_clusters")),
         "kg_links": oracles.gold_sql(g("gold_links")),

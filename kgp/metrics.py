@@ -33,16 +33,16 @@ def micro_prf(pairs: DataFrame, pred_col: str = "pred", gold_col: str = "gold") 
     return {"precision": p, "recall": rec, "f1": f1, "tp": tp, "n_pred": npred, "n_true": ntruth}
 
 
-def span_prf_df(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> DataFrame:
-    """Entity-level F1 as a one-row DataFrame: exact (keys, start, end,
-    label) span match (J5) — the relational core of :func:`span_prf`,
-    usable inside larger plans (and by the driver's SQL-checked query)."""
-    on = [*keys, "start", "end", "label"]
-    tp_df = pred_spans.join(gold_spans, on=list(on), how="left_semi").agg(
-        F.count("*").alias("tp")
-    )
-    np_df = pred_spans.agg(F.count("*").alias("n_pred"))
-    nt_df = gold_spans.agg(F.count("*").alias("n_true"))
+def micro_prf_df(pred: DataFrame, gold: DataFrame, on: list) -> DataFrame:
+    """A6 relational core: micro P/R/F1 over long-form prediction / gold
+    set tables (one row per (sample, id) member; callers pass set-semantics
+    inputs, i.e. already distinct on ``on``). tp/n_pred/n_true are summed
+    globally and P/R/F1 derived from the totals — the reference's
+    accumulation convention (eval_el.py:309-346), NOT per-sample averaging.
+    One output row: tp, n_pred, n_true, precision, recall, f1."""
+    tp_df = pred.join(gold, on=list(on), how="left_semi").agg(F.count("*").alias("tp"))
+    np_df = pred.agg(F.count("*").alias("n_pred"))
+    nt_df = gold.agg(F.count("*").alias("n_true"))
     out = tp_df.crossJoin(np_df).crossJoin(nt_df)
     p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
     r = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(F.lit(0.0))
@@ -52,6 +52,56 @@ def span_prf_df(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) 
         2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
     ).otherwise(F.lit(0.0))
     return out.select("tp", "n_pred", "n_true", "precision", "recall", f1.alias("f1"))
+
+
+def span_prf_df(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> DataFrame:
+    """Entity-level F1 as a one-row DataFrame: exact (keys, start, end,
+    label) span match (J5) — the relational core of :func:`span_prf`,
+    usable inside larger plans (and by the driver's SQL-checked query)."""
+    return micro_prf_df(pred_spans, gold_spans, [*keys, "start", "end", "label"])
+
+
+def frame_accuracy_df(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> DataFrame:
+    """A8: sentence-frame accuracy as a one-row DataFrame.
+
+    A frame (one ``keys`` group, e.g. a turn) is correct iff its predicted
+    span set equals its gold span set exactly — "all slots correct"
+    (reference CRF/metrics_utils.py:17-35, which compares the full label
+    sequence per sentence). Relationally: per frame, the matched-span
+    count must equal both the predicted and the gold span count, which for
+    unique spans is set equality without any cross-engine string
+    canonicalization. Frames are the UNION of keys present on either side
+    (a frame with spans in pred but none in gold — or vice versa — counts
+    as wrong; turns with no spans on either side are vacuously correct and
+    excluded on both engines). One output row: n_frames, n_correct,
+    accuracy."""
+    kl = list(keys)
+    on = [*kl, "start", "end", "label"]
+    np_t = pred_spans.groupBy(*kl).agg(F.count("*").alias("np_t"))
+    nt_t = gold_spans.groupBy(*kl).agg(F.count("*").alias("nt_t"))
+    tp_t = (
+        pred_spans.join(gold_spans, on=on, how="left_semi")
+        .groupBy(*kl)
+        .agg(F.count("*").alias("tp_t"))
+    )
+    frames = (
+        np_t.join(nt_t, on=kl, how="full_outer")
+        .join(tp_t, on=kl, how="left")
+        .select(
+            F.coalesce("np_t", F.lit(0)).alias("np_t"),
+            F.coalesce("nt_t", F.lit(0)).alias("nt_t"),
+            F.coalesce("tp_t", F.lit(0)).alias("tp_t"),
+        )
+    )
+    correct = (F.col("np_t") == F.col("nt_t")) & (F.col("tp_t") == F.col("nt_t"))
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.sum(correct.cast("long")).alias("n_correct"),
+    ).select(
+        "n_frames",
+        "n_correct",
+        (F.col("n_correct") / F.col("n_frames")).alias("accuracy"),
+    )
 
 
 def span_prf(pred_spans: DataFrame, gold_spans: DataFrame, keys=("doc_id",)) -> dict:

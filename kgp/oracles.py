@@ -709,3 +709,89 @@ SELECT per.u AS user, CAST(n_hit AS BIGINT) AS n_hit,
          1e-12), 9) AS ndcg_at_k
 FROM per JOIN ntr ON per.u = ntr.u
 """
+
+
+def metric_micro_prf_sql(pred_path: str, gold_path: str) -> str:
+    """A6 twin (eval_el.py:309-346 global accumulation): micro P/R/F1 of
+    the EL candidate set against the gold link set, both as distinct
+    (cluster_id, entity_id) pairs. Mirrors kgp.metrics.micro_prf_df."""
+    return f"""
+WITH p AS (SELECT DISTINCT cluster_id, entity_id FROM read_parquet('{pred_path}')),
+ g AS (SELECT DISTINCT cluster_id, entity_id FROM read_parquet('{gold_path}')),
+ stats AS (SELECT
+   (SELECT count(*) FROM p WHERE EXISTS (
+      SELECT 1 FROM g WHERE g.cluster_id = p.cluster_id
+        AND g.entity_id = p.entity_id)) AS tp,
+   (SELECT count(*) FROM p) AS n_pred,
+   (SELECT count(*) FROM g) AS n_true),
+ pr AS (SELECT *,
+   CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END AS precision,
+   CASE WHEN n_true > 0 THEN tp / n_true ELSE 0.0 END AS recall
+ FROM stats)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+FROM pr
+"""
+
+
+def metric_frame_acc_sql(pred_path: str, gold_path: str) -> str:
+    """A8 twin (CRF/metrics_utils.py:17-35 "all slots correct"): per-turn
+    frame accuracy of a deterministically perturbed prediction table
+    against the gold mentions. The perturbation (drop spans with
+    (start*31 + end*7 + turn_idx) % 10 == 0, relabel those ≡ 1 to PER) is
+    applied identically on both engines — the metric machinery, not a
+    model, is the operator under test. Mirrors kgp.metrics.frame_accuracy_df."""
+    return f"""
+WITH g AS (SELECT conv_id, turn_idx, "start", "end", label
+           FROM read_parquet('{gold_path}')),
+ p AS (SELECT conv_id, turn_idx, "start", "end",
+              CASE WHEN ("start" * 31 + "end" * 7 + turn_idx) % 10 = 1
+                   THEN 'PER' ELSE label END AS label
+       FROM read_parquet('{pred_path}')
+       WHERE ("start" * 31 + "end" * 7 + turn_idx) % 10 <> 0),
+ np_t AS (SELECT conv_id, turn_idx, count(*) AS np_t FROM p GROUP BY 1, 2),
+ nt_t AS (SELECT conv_id, turn_idx, count(*) AS nt_t FROM g GROUP BY 1, 2),
+ tp_t AS (SELECT conv_id, turn_idx, count(*) AS tp_t FROM p
+          WHERE EXISTS (SELECT 1 FROM g
+                        WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+                          AND g."start" = p."start" AND g."end" = p."end"
+                          AND g.label = p.label)
+          GROUP BY 1, 2),
+ frames AS (SELECT coalesce(np_t.np_t, 0) AS np_t, coalesce(nt_t.nt_t, 0) AS nt_t,
+                   coalesce(tp_t.tp_t, 0) AS tp_t
+            FROM np_t FULL OUTER JOIN nt_t USING (conv_id, turn_idx)
+                      LEFT JOIN tp_t USING (conv_id, turn_idx))
+SELECT CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN np_t = nt_t AND tp_t = nt_t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       sum(CASE WHEN np_t = nt_t AND tp_t = nt_t THEN 1 ELSE 0 END)::DOUBLE
+         / count(*) AS accuracy
+FROM frames
+"""
+
+
+def metric_re_prior_acc_sql(relations_path: str, mentions_path: str) -> str:
+    """A9 twin (utils.py:61-65 ``(preds == labels).mean()``): accuracy of a
+    label-pair-prior relation predictor — per (head_label, tail_label) the
+    most frequent rel_id (ties broken by smaller rel_id) — against the
+    emitted relation table."""
+    return f"""
+WITH r AS (SELECT head_mention_id, tail_mention_id, rel_id
+           FROM read_parquet('{relations_path}')),
+ m AS (SELECT mention_id, label FROM read_parquet('{mentions_path}')),
+ lab AS (SELECT mh.label AS head_label, mt.label AS tail_label, r.rel_id
+         FROM r JOIN m mh ON mh.mention_id = r.head_mention_id
+                JOIN m mt ON mt.mention_id = r.tail_mention_id),
+ prior AS (SELECT head_label, tail_label, rel_id AS prior_rel FROM (
+    SELECT head_label, tail_label, rel_id,
+           ROW_NUMBER() OVER (PARTITION BY head_label, tail_label
+                              ORDER BY count(*) DESC, rel_id) AS rn
+    FROM lab GROUP BY head_label, tail_label, rel_id) WHERE rn = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN lab.rel_id = prior.prior_rel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       avg(CASE WHEN lab.rel_id = prior.prior_rel THEN 1.0 ELSE 0.0 END) AS accuracy
+FROM lab JOIN prior USING (head_label, tail_label)
+"""
