@@ -288,6 +288,36 @@ def _q_triples(spark, sf_dir):
     )
 
 
+def _q_triples_streaming(spark, sf_dir):
+    """§2.9 streaming upgrade path, driver-certified END-TO-END: the
+    transcripts arrive as two micro-batches (every 8th conversation's
+    turns ≥ 3 arrive only in the second batch), the incremental pipeline
+    archives + reprocesses split conversations (kgp/streaming/
+    incremental.py), and the converged read view must equal the BATCH
+    pipeline's triples — so the oracle is the same gold table kg_triples
+    certifies against."""
+    import tempfile
+
+    from kgp.streaming.incremental import incremental_triples, read_incremental_triples
+
+    t = load_transcripts(spark, sf_dir)
+    conv_num = F.substring("conv_id", 6, 10).cast("int")
+    late = (conv_num % 8 == 0) & (F.col("turn_idx") >= 3)
+    work = tempfile.mkdtemp(prefix="kgp_stream_q_")
+    indir = os.path.join(work, "in")
+    t.where(~late).coalesce(1).write.mode("append").parquet(indir)
+    t.where(late).coalesce(1).write.mode("append").parquet(indir)
+    sink = incremental_triples(
+        spark, indir, fixture_model_for(spark, sf_dir),
+        os.path.join(work, "out"), max_files_per_batch=1,
+    )
+    out = read_incremental_triples(spark, sink)
+    return out.select(
+        "conv_id", "subj", "pred", "obj",
+        F.array_join(F.transform("src_turns", lambda x: x.cast("string")), ",").alias("src_turns"),
+    )
+
+
 def _q_edges(spark, sf_dir):
     e = _pipeline_outputs(spark, sf_dir)["edges"]
     return e.select(F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long"))
@@ -651,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": _q_links,
         "el_threshold_sweep": _q_el_sweep,
         "kg_triples": _q_triples,
+        "kg_triples_streaming": _q_triples_streaming,
         "kg_edges": _q_edges,
         "kg_re_pairs": _q_re_pairs,
         "kg_coref_pairs": _q_coref_pairs,
@@ -733,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             g("gold_candidates"), g("gold_links"), _el_thetas()
         ),
         "kg_triples": oracles.gold_sql(g("gold_triples")),
+        "kg_triples_streaming": oracles.gold_sql(g("gold_triples")),
         "kg_edges": oracles.gold_sql(g("gold_edges")),
         "kg_re_pairs": oracles.re_pairs_sql(g("gold_mentions")),
         "kg_coref_pairs": oracles.coref_pairs_sql(g("gold_mentions"), CFG.coref_turn_window),
