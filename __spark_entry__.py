@@ -476,6 +476,119 @@ def _q_kgat_attention(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S8 Excel dict / J9 negative sampling / W5 early stopping / F8 losses
+# ---------------------------------------------------------------------------
+
+_NEG_ATTEMPTS, _NEG_SEED = 12, 42
+_ES_EPOCHS, _ES_STEPS = 24, 3
+_FOCAL_GAMMA, _DICE_SMOOTH = 2.0, 1e-4
+
+
+def _q_read_excel_dict(spark, sf_dir):
+    """S8: stdlib xlsx parse (binaryFile -> mapInPandas) of the ICD-dict
+    workbook fixture; the oracle re-reads the CSV twin of the same rows,
+    so the cross-FORMAT equality certifies the parser."""
+    from kgp.io.xlsx import read_excel_dict
+
+    return read_excel_dict(spark, _reader_paths()["icd_dict.xlsx"])
+
+
+def _cf_interactions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("user"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+
+
+def _q_neg_sample(spark, sf_dir):
+    """J9: bounded-rejection negative sampling (explode -> anti-join ->
+    first surviving attempt) over the orders x lineitem interactions."""
+    from kgp.stages.training import negative_sample_items
+
+    out = negative_sample_items(
+        _cf_interactions(spark, sf_dir), attempts=_NEG_ATTEMPTS, seed=_NEG_SEED
+    )
+    return out.select(
+        "user", "pos_item", "neg_item", F.col("attempt").cast("long").alias("attempt")
+    )
+
+
+def _q_early_stop(spark, sf_dir):
+    """W5: running early-stopping decision over a deterministic
+    orders-derived epoch/metric history (metric = per-bucket max: float
+    order-independent on both engines)."""
+    from kgp.stages.training import early_stopping_history
+
+    od = _t(spark, sf_dir, "orders")
+    hist = od.groupBy(
+        (F.col("o_orderkey") % _ES_EPOCHS).cast("long").alias("epoch")
+    ).agg(F.max("o_totalprice").alias("recall"))
+    return early_stopping_history(hist, stopping_steps=_ES_STEPS)
+
+
+def _q_loss_focal(spark, sf_dir):
+    from kgp.functions.losses import focal_loss
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.array(
+            F.col("l_discount") * 10, F.col("l_tax") * 10, F.log(F.col("l_quantity") + 1)
+        ).alias("logits"),
+        (F.col("l_linenumber") % 3).cast("int").alias("label"),
+    )
+    return focal_loss(t, gamma=_FOCAL_GAMMA)
+
+
+def _q_loss_dice(spark, sf_dir):
+    from kgp.functions.losses import dice_loss
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_discount").alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    return dice_loss(t, smooth=_DICE_SMOOTH)
+
+
+def _q_loss_bpr(spark, sf_dir):
+    from kgp.functions.losses import bpr_loss
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_extendedprice") / 10000).alias("pos_score"),
+        (F.col("l_tax") * 10).alias("neg_score"),
+    )
+    return bpr_loss(t)
+
+
+def _q_loss_crf_nll(spark, sf_dir):
+    """F8 CRF NLL: forward-algorithm logZ minus gold-path score per turn
+    under the surrogate emission/transition model, one vectorized pandas
+    pass. No SQL twin (log-sum-exp recursion over time is not
+    SQL-expressible without recursion) — tests certify against
+    brute-force path enumeration; the driver records the rows-only check."""
+    from kgp.functions.losses import crf_nll
+    from kgp.functions.surrogate import tokenize
+
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    model = fixture_model_for(spark, sf_dir)
+    # gold labels: all-O (the NLL of the null labeling — exercises the
+    # identical forward pass; gold-span labelings are covered in tests)
+    t = t.withColumn(
+        "bio_labels",
+        F.transform(F.split(F.trim("text"), r"\s+"), lambda _: F.lit("O")),
+    )
+    out = crf_nll(t, surfaces=model.surfaces)
+    return out.select("conv_id", "turn_idx", F.round("nll", 6).alias("nll"))
+
+
+# ---------------------------------------------------------------------------
 # data-op queries (driver testdata views)
 # ---------------------------------------------------------------------------
 
@@ -696,6 +809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_kg_triples": _q_read_kg_triples,
         "read_cf_adjacency": _q_read_cf_adjacency,
         "read_id_remap": _q_read_id_remap,
+        "read_excel_dict": _q_read_excel_dict,
+        # training-support ops (J9, W5, F8)
+        "kgat_neg_sample": _q_neg_sample,
+        "train_early_stop": _q_early_stop,
+        "loss_focal": _q_loss_focal,
+        "loss_dice": _q_loss_dice,
+        "loss_bpr": _q_loss_bpr,
+        "loss_crf_nll": _q_loss_crf_nll,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -778,6 +899,13 @@ def oracle_sql() -> dict[str, str]:
         "read_kg_triples": oracles.read_kg_triples_sql(rp["kg_final.txt"]),
         "read_cf_adjacency": oracles.read_cf_adjacency_sql(rp["cf_train.txt"]),
         "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
+        "read_excel_dict": oracles.read_excel_dict_sql(rp["icd_dict.xlsx"] + ".csv"),
+        "kgat_neg_sample": oracles.neg_sample_items_sql(_NEG_ATTEMPTS, _NEG_SEED),
+        "train_early_stop": oracles.early_stopping_sql(_ES_EPOCHS, _ES_STEPS),
+        "loss_focal": oracles.focal_loss_sql(_FOCAL_GAMMA),
+        "loss_dice": oracles.dice_loss_sql(_DICE_SMOOTH),
+        "loss_bpr": oracles.bpr_loss_sql(),
+        # loss_crf_nll: intentionally no SQL twin (see _q_loss_crf_nll)
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),

@@ -157,6 +157,24 @@ def write_id_remap_txt(path: str, n: int = 30) -> None:
     _write(path, "\n".join(lines) + "\n")
 
 
+def write_icd_xlsx(path: str, n: int = 50) -> None:
+    """S8 micro-fixture: the ICD-10 dictionary workbook shape
+    (prepare_el_index.py:63-69) — header row + (code, name) string rows —
+    plus a byte-equivalent CSV twin at <path>.csv so the DuckDB oracle
+    can re-read the SAME logical content through its CSV reader (DuckDB
+    has no xlsx scan; the cross-format equality is the certification)."""
+    from kgp.io.xlsx import write_xlsx
+
+    rows = []
+    for i in range(n):
+        code = f"{chr(ord('A') + i % 7)}{i % 90:02d}.{i % 10}"
+        name = " ".join(_tokens(i, 2 + i % 3)) + f" disorder {i}"
+        rows.append([code, name])
+    write_xlsx(path, rows, header=["code", "name"])
+    csv_lines = ["code,name"] + [f"{c},{nm}" for c, nm in rows]
+    _write(path + ".csv", "\n".join(csv_lines) + "\n")
+
+
 FIXTURE_WRITERS = {
     "semeval.jsonl": write_semeval_jsonl,
     "mrc_ner.json": write_mrc_json,
@@ -166,6 +184,7 @@ FIXTURE_WRITERS = {
     "kg_final.txt": write_kg_triples_txt,
     "cf_train.txt": write_cf_adjacency_txt,
     "entity_remap.txt": write_id_remap_txt,
+    "icd_dict.xlsx": write_icd_xlsx,
 }
 
 

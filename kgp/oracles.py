@@ -795,3 +795,119 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        avg(CASE WHEN lab.rel_id = prior.prior_rel THEN 1.0 ELSE 0.0 END) AS accuracy
 FROM lab JOIN prior USING (head_label, tail_label)
 """
+
+
+# ---------------------------------------------------------------------------
+# S8 Excel dict / J9 negative sampling / W5 early stopping / F8 losses
+# ---------------------------------------------------------------------------
+
+
+def read_excel_dict_sql(csv_twin_path: str) -> str:
+    """Twin of kgp.io.xlsx.read_excel_dict: DuckDB has no xlsx scan, so
+    the fixture writer emits a byte-equivalent CSV of the same logical
+    rows; equality across the two FORMATS certifies the xlsx parser."""
+    return f"""
+SELECT code AS icd_code, name AS entity_name
+FROM read_csv('{csv_twin_path}', header=true, all_varchar=true)
+"""
+
+
+_CF_POS = """
+pos AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)"""
+
+
+def neg_sample_items_sql(attempts: int, seed: int) -> str:
+    """Twin of kgp.stages.training.negative_sample_items over the
+    orders x lineitem interaction table (same md5-derived candidate
+    stream, same bounded-rejection anti-join)."""
+    return f"""
+WITH {_CF_POS},
+ st AS (SELECT max(item) + 1 AS n_items FROM pos),
+ props AS (
+   SELECT u, item AS pos_item, CAST(j AS INT) AS attempt,
+          CAST(CAST(('0x' || substr(md5(concat_ws('|', '{seed}', u, item, j)), 1, 15))
+               AS UBIGINT) % n_items AS BIGINT) AS neg_item
+   FROM pos, st, generate_series(1, {attempts}) AS g(j)
+ ),
+ surv AS (
+   SELECT p.u, p.pos_item, p.neg_item, p.attempt,
+          row_number() OVER (PARTITION BY p.u, p.pos_item ORDER BY p.attempt) AS rn
+   FROM props p
+   ANTI JOIN pos ON pos.u = p.u AND pos.item = p.neg_item
+ )
+SELECT u AS "user", pos_item, neg_item, CAST(attempt AS BIGINT) AS attempt
+FROM surv WHERE rn = 1
+"""
+
+
+def early_stopping_sql(n_epochs: int, stopping_steps: int) -> str:
+    """Twin of kgp.stages.training.early_stopping_history over the
+    deterministic orders-derived epoch history (metric = max(o_totalprice)
+    per epoch bucket: order-independent, so float-exact on both engines)."""
+    return f"""
+WITH hist AS (
+  SELECT CAST(o_orderkey % {n_epochs} AS BIGINT) AS epoch,
+         max(o_totalprice) AS recall
+  FROM orders GROUP BY 1
+),
+ marked AS (
+  SELECT epoch, recall,
+         row_number() OVER (ORDER BY epoch) AS rn,
+         recall > coalesce(
+           max(recall) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST('-infinity' AS DOUBLE)) AS nb
+  FROM hist
+)
+SELECT epoch, recall,
+       max(recall) OVER (ORDER BY epoch) AS best_recall,
+       max(CASE WHEN nb THEN epoch END) OVER (ORDER BY epoch) AS best_epoch,
+       rn - max(CASE WHEN nb THEN rn END) OVER (ORDER BY epoch) >= {stopping_steps}
+         AS should_stop
+FROM marked
+"""
+
+
+def focal_loss_sql(gamma: float) -> str:
+    """Twin of kgp.functions.losses.focal_loss over the deterministic
+    lineitem-derived (logits, label) table (1-based list indexing matches
+    element_at; max-shifted softmax matches the Spark fold)."""
+    return f"""
+WITH t AS (
+  SELECT [l_discount * 10, l_tax * 10, ln(l_quantity + 1)] AS lg,
+         CAST(l_linenumber % 3 AS INT) AS lb
+  FROM lineitem
+),
+ r AS (
+  SELECT lg[lb + 1] - list_max(lg)
+         - ln(list_sum(list_transform(lg, x -> exp(x - list_max(lg))))) AS logp
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(-pow(1 - exp(logp), {gamma}) * logp), 6) AS focal_loss
+FROM r
+"""
+
+
+def dice_loss_sql(smooth: float) -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(1 - (2 * sum(l_discount * y) + {smooth})
+                 / (sum(l_discount) + sum(y) + {smooth}), 6) AS dice_loss
+FROM (SELECT l_discount, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem)
+"""
+
+
+def bpr_loss_sql() -> str:
+    """softplus(neg-pos) mean, max-shifted exactly like the Spark column."""
+    return """
+WITH t AS (
+  SELECT l_tax * 10 - l_extendedprice / 10000 AS d FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(greatest(d, 0) + ln(1 + exp(-abs(d)))), 6) AS bpr_loss
+FROM t
+"""
