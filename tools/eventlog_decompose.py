@@ -1,0 +1,107 @@
+"""Decompose a Spark event log into the scaling cost model's terms.
+
+    T_N  =  driver_gaps  +  sum(task_time)/N  +  tail
+
+Reads one application event log (JSON lines) and prints:
+- wall (first job submit -> last job end),
+- sum of task durations (core-seconds), and executor CPU inside tasks,
+- driver-only gap time: wall minutes the union of stage intervals does
+  not cover (Catalyst analysis, job scheduling, Py4J round trips),
+- per-stage task counts (scheduling granularity vs core count).
+
+Usage:
+    KGP_EXTRA_CONF='{"spark.eventLog.enabled":"true","spark.eventLog.dir":"/tmp/kgp-ev"}' \
+        taskset -c 0-3 python bench.py   # then
+    python tools/eventlog_decompose.py /tmp/kgp-ev/<app-id>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(path: str) -> None:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        # Spark 4 rolling event-log dir: events_*_<app> files in order
+        parts = sorted(glob.glob(os.path.join(path, "events_*"))) or sorted(
+            glob.glob(os.path.join(path, "*"))
+        )
+        path = parts  # list of files
+    else:
+        path = [path]
+    stages = {}  # (stageId, attempt) -> [submit, complete]
+    task_ms = 0.0
+    cpu_ns = 0.0
+    task_counts: dict[int, int] = {}
+    job_window = [None, None]
+    def lines():
+        for p in path:
+            if p.endswith(".zstd"):
+                import io
+
+                import zstandard  # bundled with pyspark deps
+
+                with open(p, "rb") as f:
+                    r = zstandard.ZstdDecompressor().stream_reader(f)
+                    yield from io.TextIOWrapper(r, encoding="utf-8")
+            elif p.endswith(("appstatus", "inprogress")) or "appstatus" in p:
+                continue
+            else:
+                with open(p) as f:
+                    yield from f
+
+    for line in lines():
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            ev = e.get("Event")
+            if ev == "SparkListenerJobStart":
+                t = e.get("Submission Time")
+                if t and (job_window[0] is None or t < job_window[0]):
+                    job_window[0] = t
+            elif ev == "SparkListenerJobEnd":
+                t = e.get("Completion Time")
+                if t and (job_window[1] is None or t > job_window[1]):
+                    job_window[1] = t
+            elif ev == "SparkListenerStageCompleted":
+                si = e["Stage Info"]
+                key = (si["Stage ID"], si["Stage Attempt ID"])
+                sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                if sub and comp:
+                    stages[key] = [sub, comp]
+            elif ev == "SparkListenerTaskEnd":
+                ti = e.get("Task Info", {})
+                task_ms += (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) or 0
+                tm = e.get("Task Metrics") or {}
+                cpu_ns += tm.get("Executor CPU Time", 0) or 0
+                sid = e.get("Stage ID")
+                task_counts[sid] = task_counts.get(sid, 0) + 1
+
+    if not stages or job_window[0] is None:
+        print("no stages/jobs in log")
+        return
+    ivs = sorted(stages.values())
+    merged = [list(ivs[0])]
+    for s, c in ivs[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], c)
+        else:
+            merged.append([s, c])
+    covered = sum(c - s for s, c in merged) / 1000.0
+    wall = (job_window[1] - job_window[0]) / 1000.0
+    print(f"wall (first submit -> last job end): {wall:.1f} s")
+    print(f"stage-covered time: {covered:.1f} s   driver-only gaps: {wall - covered:.1f} s")
+    print(f"sum task time: {task_ms / 1000.0:.1f} core-s   executor CPU in tasks: {cpu_ns / 1e9:.1f} core-s")
+    small = sorted(task_counts.items())
+    print(f"stages: {len(task_counts)}   tasks: {sum(task_counts.values())}")
+    ones = [sid for sid, n in small if n == 1]
+    print(f"single-task stages: {len(ones)} {ones[:20]}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
