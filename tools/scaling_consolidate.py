@@ -51,13 +51,27 @@ def main(paths: list[str]) -> None:
     with open(POOL, "w") as f:
         json.dump(pool, f, indent=1)
 
+    def fixture(r):
+        # normalize 'fixtures/sf4' vs '/root/repo/fixtures/sf4'
+        return os.path.basename((r.get("sf") or "sf?").rstrip("/"))
+
+    def best(rows):
+        return min((r["e2e_sec"] for r in rows), default=None)
+
+    print(f"pool: {len(pool)} legs (calm = steal <= {STEAL_CALM}%)")
+    for fx in sorted({fixture(r) for r in pool}):
+        fpool = [r for r in pool if fixture(r) == fx]
+        report_fixture(fx, fpool)
+
+
+def report_fixture(fx: str, pool: list[dict]) -> None:
     levels = sorted({r["cpus"] for r in pool})
     by = {c: [r for r in pool if r["cpus"] == c] for c in levels}
 
     def best(rows):
         return min((r["e2e_sec"] for r in rows), default=None)
 
-    print(f"pool: {len(pool)} legs, levels {levels} (calm = steal <= {STEAL_CALM}%)")
+    print(f" {fx}: {len(pool)} legs, levels {levels}")
     for a in levels:
         for b in levels:
             if b / a == 4 and by.get(a) and by.get(b):
@@ -68,8 +82,15 @@ def main(paths: list[str]) -> None:
                 ceff = None
                 if calm_a and calm_b:
                     ceff = (best(calm_a) / best(calm_b)) / (b / a)
-                # best single alternated round: adjacent legs in one source
-                reff = None
+                # best single alternated round: adjacent legs in one source.
+                # A round only qualifies if its SMALL leg is within 15% of
+                # that config's pooled best — a contended small leg inflates
+                # the ratio (e.g. a 408 s 1-core outlier next to a calm
+                # 4-core leg reads as 0.89 "efficiency"), which is the
+                # mirror image of the contended-large-leg deflation the
+                # calm gating exists to prevent. Disqualified rounds are
+                # listed, not hidden.
+                reff, dirty = None, []
                 for src in {r.get("source") for r in pool}:
                     runs = [r for r in pool if r.get("source") == src]
                     runs.sort(key=lambda r: r.get("idx", 0))
@@ -81,13 +102,21 @@ def main(paths: list[str]) -> None:
                             pa, pb = y, x
                         if pa is not None:
                             e = (pa["e2e_sec"] / pb["e2e_sec"]) / (b / a)
-                            reff = e if reff is None else max(reff, e)
+                            if pa["e2e_sec"] > 1.15 * ta:
+                                dirty.append(
+                                    f"{e:.3f} (small leg {pa['e2e_sec']:.0f}s"
+                                    f" = {pa['e2e_sec'] / ta:.2f}x best, inflated)"
+                                )
+                            else:
+                                reff = e if reff is None else max(reff, e)
                 print(
                     f"  {a}->{b}: pooled-best eff {eff:.3f}"
                     + (f" | calm-pooled {ceff:.3f}" if ceff is not None else " | calm-pooled n/a")
                     + (f" | best alternated round {reff:.3f}" if reff is not None else "")
                     + f"   (T{a}={ta:.1f}s T{b}={tb:.1f}s)"
                 )
+                for d in dirty:
+                    print(f"      disqualified round: {d}")
 
 
 if __name__ == "__main__":
