@@ -475,6 +475,30 @@ def _q_kgat_attention(spark, sf_dir):
     )
 
 
+def _q_kgat_aggregate(spark, sf_dir):
+    """KGAT bi-interaction aggregation round (KGAT-pytorch/model/
+    KGAT.py:38-108): attention + per-destination softmax (F7/A10) composed
+    into the per-node embedding update e_h' = leaky(W1(e_h + e_N)) +
+    leaky(W2(e_h * e_N)) with e_N = sum att * e_t — pure groupBy-sum +
+    broadcast dataflow, one row per (entity, output dim)."""
+    import numpy as np
+
+    from kgp.fixtures import aggregate_fixture, attention_fixture
+    from kgp.stages.graph import edge_softmax, kgat_aggregate, kgat_attention
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    w1, w2 = aggregate_fixture(d=len(ent[0]))
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
+    ).distinct()
+    scored = edge_softmax(kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w)))
+    out = kgat_aggregate(spark, scored, ent, w1, w2)
+    return out.select("h", "j", F.round("e_out", 6).alias("e_out"))
+
+
 # ---------------------------------------------------------------------------
 # S8 Excel dict / J9 negative sampling / W5 early stopping / F8 losses
 # ---------------------------------------------------------------------------
@@ -503,6 +527,56 @@ def _cf_interactions(spark, sf_dir):
             F.col("l_partkey").cast("long").alias("item"),
         )
         .distinct()
+    )
+
+
+_CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD = 20, 7, 97
+
+
+def _q_kgat_cf_eval(spark, sf_dir):
+    """Full-ranking CF evaluation (KGAT-pytorch/utility/metrics.py:121-146
+    test procedure): for each eval user, score the FULL item catalog with
+    a deterministic surrogate scorer, mask train interactions (J7
+    left_anti — the reference zeroes them, metrics.py:126-130), rank all
+    remaining items per user (W3), and report per-user P/R/NDCG@k against
+    the held-out test positives (A11). The train/test split and the score
+    table are md5-derived so the DuckDB twin reproduces them exactly."""
+    from pyspark.sql.window import Window
+
+    from kgp.metrics import ranking_metrics
+    from kgp.stages.graph import mask_train_interactions
+    from kgp.stages.training import _h15
+
+    pos = _cf_interactions(spark, sf_dir)
+    users = pos.select("user").distinct().where(
+        F.col("user") % _CF_EVAL_USER_MOD == 1
+    )
+    items = pos.select("item").distinct()
+    split = pos.withColumn(
+        "_s", F.pmod(_h15(F.lit("cfsplit"), F.col("user"), F.col("item")), 5)
+    )
+    train = split.where(F.col("_s") < 3).select("user", "item")
+    test = split.where(F.col("_s") >= 3).select("user", "item")
+    scores = (
+        users.crossJoin(F.broadcast(items))
+        .withColumn(
+            "score",
+            _h15(F.lit(_CF_EVAL_SEED), F.col("user"), F.col("item")).cast("double")
+            / F.lit(float(2**60)),
+        )
+    )
+    masked = mask_train_interactions(scores, train)
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    ranked = masked.withColumn("rank", F.row_number().over(w))
+    truth = test.join(users, "user")
+    out = ranking_metrics(ranked, truth, k=_CF_EVAL_K)
+    return out.select(
+        "user",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_true").cast("long").alias("n_true"),
+        "precision_at_k",
+        "recall_at_k",
+        F.round("ndcg_at_k", 9).alias("ndcg_at_k"),
     )
 
 
@@ -570,9 +644,9 @@ def _q_loss_bpr(spark, sf_dir):
 def _q_loss_crf_nll(spark, sf_dir):
     """F8 CRF NLL: forward-algorithm logZ minus gold-path score per turn
     under the surrogate emission/transition model, one vectorized pandas
-    pass. No SQL twin (log-sum-exp recursion over time is not
-    SQL-expressible without recursion) — tests certify against
-    brute-force path enumeration; the driver records the rows-only check."""
+    pass. SQL twin: oracles.crf_nll_sql — a DuckDB RECURSIVE CTE over time
+    steps with the alpha vector pivoted into 9 label columns (tests also
+    certify the op against brute-force path enumeration)."""
     from kgp.functions.losses import crf_nll
     from kgp.functions.surrogate import tokenize
 
@@ -585,7 +659,11 @@ def _q_loss_crf_nll(spark, sf_dir):
         F.transform(F.split(F.trim("text"), r"\s+"), lambda _: F.lit("O")),
     )
     out = crf_nll(t, surfaces=model.surfaces)
-    return out.select("conv_id", "turn_idx", F.round("nll", 6).alias("nll"))
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.round("nll", 6).alias("nll"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -800,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_pairs": _q_coref_pairs,
         "kg_kgat_edges": _q_kgat_edges,
         "kgat_attention": _q_kgat_attention,
+        "kgat_aggregate": _q_kgat_aggregate,
         # reference-format readers (S1-S7)
         "read_semeval": _q_read_semeval,
         "read_mrc": _q_read_mrc,
@@ -812,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_excel_dict": _q_read_excel_dict,
         # training-support ops (J9, W5, F8)
         "kgat_neg_sample": _q_neg_sample,
+        "kgat_cf_eval": _q_kgat_cf_eval,
         "train_early_stop": _q_early_stop,
         "loss_focal": _q_loss_focal,
         "loss_dice": _q_loss_dice,
@@ -844,11 +924,28 @@ def _el_thetas():
     return EL_SWEEP_THETAS
 
 
+def _crf_nll_oracle(transcripts_path: str) -> str:
+    # same surfaces fixture_model_for builds, without needing a SparkSession
+    from kgp.fixtures import fixture_config_for_sf, make_gazetteer, sf_from_dir, tagger_surfaces
+
+    sf = sf_from_dir(SF01)
+    gaz = make_gazetteer(fixture_config_for_sf(sf, skew=sf >= 0.05))
+    return oracles.crf_nll_sql(transcripts_path, tagger_surfaces(gaz))
+
+
 def _kgat_attention_oracle() -> str:
     from kgp.fixtures import attention_fixture
 
     ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
     return oracles.kgat_attention_sql(ent, rel, w, _ATT_N_ENT, _ATT_N_REL)
+
+
+def _kgat_aggregate_oracle() -> str:
+    from kgp.fixtures import aggregate_fixture, attention_fixture
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    w1, w2 = aggregate_fixture(d=len(ent[0]))
+    return oracles.kgat_aggregate_sql(ent, rel, w, w1, w2, _ATT_N_ENT, _ATT_N_REL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -891,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref_pairs": oracles.coref_pairs_sql(g("gold_mentions"), CFG.coref_turn_window),
         "kg_kgat_edges": oracles.kgat_edges_sql(),
         "kgat_attention": _kgat_attention_oracle(),
+        "kgat_aggregate": _kgat_aggregate_oracle(),
         "read_semeval": oracles.read_semeval_sql(rp["semeval.jsonl"]),
         "read_mrc": oracles.read_mrc_sql(rp["mrc_ner.json"]),
         "read_ccks": oracles.read_ccks_sql(rp["ccks_ner.json"]),
@@ -901,11 +999,14 @@ def oracle_sql() -> dict[str, str]:
         "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
         "read_excel_dict": oracles.read_excel_dict_sql(rp["icd_dict.xlsx"] + ".csv"),
         "kgat_neg_sample": oracles.neg_sample_items_sql(_NEG_ATTEMPTS, _NEG_SEED),
+        "kgat_cf_eval": oracles.kgat_cf_eval_sql(
+            _CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD
+        ),
         "train_early_stop": oracles.early_stopping_sql(_ES_EPOCHS, _ES_STEPS),
         "loss_focal": oracles.focal_loss_sql(_FOCAL_GAMMA),
         "loss_dice": oracles.dice_loss_sql(_DICE_SMOOTH),
         "loss_bpr": oracles.bpr_loss_sql(),
-        # loss_crf_nll: intentionally no SQL twin (see _q_loss_crf_nll)
+        "loss_crf_nll": _crf_nll_oracle(os.path.join(fdir, "transcripts.parquet")),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),

@@ -42,7 +42,21 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
     # faster at 16 partitions than at 64 (fewer scheduling rounds + Arrow
     # batch tails), and 1 core runs 6% faster at 4. AQE still coalesces
     # below the cap when bytes are small.
-    n_shuffle = max(4 * int(cpus), 8) if str(cpus).isdigit() else 64
+    # BENCH_SHUFFLE_PARTITIONS overrides for A/B decomposition runs
+    # (round-3 VERDICT: decompose the fixed-64 vs 4xcores policy on one host)
+    if os.environ.get("BENCH_SHUFFLE_PARTITIONS"):
+        n_shuffle = int(os.environ["BENCH_SHUFFLE_PARTITIONS"])
+    else:
+        # 4 task waves per stage (4 x cores), capped at 64 for this
+        # single-JVM local bench: the round-4 same-host A/B at sf0.1 /
+        # 32 cpus (BENCH/sf01_ab.json) measured 64 partitions at
+        # 20.6-25.3 s vs 128 at 23.9-28.0 s — beyond ~2 waves of 32
+        # cores the extra partitions only add scheduling rounds on a
+        # fixed-overhead-dominated job. At the scaling-leg core counts
+        # (1-8) the cap never binds, so the sf4-tuned 4x rule holds
+        # there; a real multi-executor cluster sizes against total
+        # cluster cores instead (SCALING.md).
+        n_shuffle = min(max(4 * int(cpus), 8), 64) if str(cpus).isdigit() else 64
     spark = get_spark("kgp-bench", master=f"local[{cpus}]", shuffle_partitions=n_shuffle)
     # Warm-up excluded from timing: JVM/codegen startup AND the Python
     # worker pool. Forked pandas-UDF workers each pay a fixed cold-start
@@ -152,6 +166,35 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
 
     spark.stop()
     e2e = timings["kg_pipeline_e2e"]
+
+    # Host fingerprint (round-3 VERDICT item 8): cross-round BENCH files are
+    # only comparable when the host is; record enough to tell host from code.
+    def _host_fingerprint() -> dict:
+        fp: dict = {}
+        try:
+            with open("/proc/cpuinfo") as f:
+                for ln in f:
+                    if ln.startswith("model name"):
+                        fp["cpu_model"] = ln.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        try:
+            with open("/proc/loadavg") as f:
+                fp["loadavg_1min"] = float(f.read().split()[0])
+        except OSError:
+            pass
+        try:
+            with open("/proc/stat") as f:
+                vals = [float(x) for x in f.readline().split()[1:]]
+            fp["steal_frac_since_boot"] = round(
+                (vals[7] if len(vals) > 7 else 0.0) / max(sum(vals), 1.0), 4
+            )
+        except OSError:
+            pass
+        fp["nproc"] = os.cpu_count()
+        return fp
+
     result = {
         "metric": "triples_per_sec",
         "value": round(n_triples / e2e, 2) if e2e else 0.0,
@@ -160,6 +203,8 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
         "sf": sf_dir,
         "cpus": int(cpus),
         "n_triples": n_triples,
+        "shuffle_partitions": n_shuffle,
+        "host": _host_fingerprint(),
         # at sf0.1 the job is fixed-cost dominated (~12-16s of driver/JVM
         # per-job overhead); scale behaviour and peak throughput
         # (~20.8k triples/s at ~8M turns) are measured in BENCH/BASELINE.md

@@ -328,6 +328,16 @@ def attention_fixture(n_ent: int = 40, n_rel: int = 4, d: int = 8, d_r: int = 4)
     return ent, rel, w
 
 
+def aggregate_fixture(d: int = 8, d_out: int = 6):
+    """Deterministic bi-interaction weight matrices (W1, W2: d x d_out) for
+    the kgat_aggregate certification — same small-rational scheme as
+    :func:`attention_fixture` so Python floats and the DuckDB twin's
+    repr() literals parse bit-identically."""
+    w1 = [[((i * 19 + j * 23) % 61 - 30) / 30 for j in range(d_out)] for i in range(d)]
+    w2 = [[((i * 37 + j * 41) % 67 - 33) / 33 for j in range(d_out)] for i in range(d)]
+    return w1, w2
+
+
 def sanity_check_vocab(entities: list[Entity]) -> None:
     """Invariant: filler/trigger/gazetteer token sets are disjoint and every
     surface round-trips through the tokenizer unchanged."""

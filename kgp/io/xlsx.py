@@ -130,10 +130,46 @@ def write_xlsx(path: str, rows: list[list], header: list[str] | None = None) -> 
 _CELL_RE = re.compile(r"([A-Z]+)(\d+)")
 
 
-def parse_xlsx_bytes(content: bytes, sheet: str = "sheet1") -> list[list[str]]:
+def _first_sheet_member(z: zipfile.ZipFile) -> str:
+    """Zip member name of the workbook's FIRST sheet (workbook.xml order).
+
+    Resolves sheet 1's r:id through xl/_rels/workbook.xml.rels to its
+    target part — exporters that deleted/reordered sheets may store the
+    first sheet as e.g. sheet3.xml. Falls back to the lexicographically
+    first xl/worksheets/*.xml member when the rels are absent/odd."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_attr = (
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        targets = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(
+                "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+            )
+        }
+        for sh in wb.iter(_q("sheet")):
+            target = targets.get(sh.get(rid_attr))
+            if target:
+                target = target.lstrip("/")
+                return target if target.startswith("xl/") else f"xl/{target}"
+    except (KeyError, ET.ParseError):
+        pass
+    members = sorted(
+        n for n in z.namelist() if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not members:
+        raise KeyError("no xl/worksheets/*.xml member in workbook")
+    return members[0]
+
+
+def parse_xlsx_bytes(content: bytes, sheet: str | None = None) -> list[list[str]]:
     """First-worksheet cell grid as strings (missing cells -> '').
     Handles shared strings (t="s"), inline strings (t="inlineStr"/"str")
-    and plain numeric <v> cells."""
+    and plain numeric <v> cells. The first sheet is resolved via the
+    workbook rels (see :func:`_first_sheet_member`); pass ``sheet`` to
+    force a specific ``xl/worksheets/<sheet>.xml`` part."""
     z = zipfile.ZipFile(io.BytesIO(content))
     shared: list[str] = []
     try:
@@ -142,7 +178,8 @@ def parse_xlsx_bytes(content: bytes, sheet: str = "sheet1") -> list[list[str]]:
             shared.append("".join(t.text or "" for t in si.iter(_q("t"))))
     except KeyError:
         pass
-    ws = ET.fromstring(z.read(f"xl/worksheets/{sheet}.xml"))
+    member = f"xl/worksheets/{sheet}.xml" if sheet else _first_sheet_member(z)
+    ws = ET.fromstring(z.read(member))
     rows: list[list[str]] = []
     for row in ws.iter(_q("row")):
         cells: dict[int, str] = {}
@@ -200,7 +237,9 @@ def read_excel_dict(spark: SparkSession, path: str) -> DataFrame:
     return (
         raw.where(F.col("row_idx") > 0)
         .select(
-            F.col("cells")[0].alias("icd_code"),
-            F.col("cells")[1].alias("entity_name"),
+            # ragged rows: a data row with fewer cells than the header gets
+            # '' (pd.read_excel/CSV-twin behavior), not NULL
+            F.coalesce(F.col("cells")[0], F.lit("")).alias("icd_code"),
+            F.coalesce(F.col("cells")[1], F.lit("")).alias("entity_name"),
         )
     )

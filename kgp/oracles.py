@@ -603,6 +603,84 @@ FROM scored s JOIN z ON s.t = z.t
 """
 
 
+def kgat_aggregate_sql(
+    ent_emb, rel_emb, rel_w, w1, w2, n_ent: int, n_rel: int, alpha: float = 0.2
+) -> str:
+    """Twin of kgp.stages.graph.kgat_aggregate composed after
+    kgat_attention + edge_softmax over the deterministic lineitem edge
+    table (KGAT-pytorch/model/KGAT.py:38-108 bi-interaction round):
+    e_N(h) = sum att * e_t; e_out = leaky(sum s*W1) + leaky(sum p*W2)
+    with s = e_h + e_N, p = e_h * e_N. Rounded to 6 dp (the groupBy sums
+    have more terms than the attention dots, so the float sum-order
+    jitter budget is looser than the 9-dp attention twin's)."""
+    d = len(ent_emb[0])
+    dr = len(rel_emb[0])
+    wh = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * eh[j]), 'sum')"
+    )
+    wt = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * et[j]), 'sum')"
+    )
+    tanh_arg = f"({wh} + er[i])"
+    tanh = f"((exp(2 * {tanh_arg}) - 1) / (exp(2 * {tanh_arg}) + 1))"
+    score = (
+        f"list_aggregate(list_transform(range(1, {dr} + 1), "
+        f"i -> {tanh} * {wt}), 'sum')"
+    )
+    w_values = ",\n  ".join(
+        f"({i + 1}, {j}, {float(w1[i][j])!r}, {float(w2[i][j])!r})"
+        for i in range(d)
+        for j in range(len(w1[0]))
+    )
+
+    def leaky(c: str) -> str:
+        return f"(CASE WHEN {c} > 0 THEN {c} ELSE {alpha!r} * {c} END)"
+
+    return f"""
+WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
+  {_matrix_values(ent_emb)}) v(col0, col1)),
+ rel AS (SELECT col0 AS id, col1 AS er FROM (VALUES
+  {_matrix_values(rel_emb)}) v(col0, col1)),
+ w AS (SELECT col0 AS id, col1 AS wr FROM (VALUES
+  {_tensor_values(rel_w)}) v(col0, col1)),
+ w12(i, j, w1, w2) AS (VALUES
+  {w_values}),
+ edges AS (SELECT DISTINCT l_suppkey % {n_ent} AS h, l_linenumber % {n_rel} AS r,
+                  l_partkey % {n_ent} AS t FROM lineitem),
+ scored AS (SELECT edges.h, edges.r, edges.t,
+                   {score} AS score
+            FROM edges
+            JOIN ent eh_t ON eh_t.id = edges.h
+            JOIN ent et_t ON et_t.id = edges.t
+            JOIN rel ON rel.id = edges.r
+            JOIN w ON w.id = edges.r,
+            LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
+ z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t),
+ att AS (SELECT s.h, s.t, exp(s.score) / z.z AS att
+         FROM scored s JOIN z ON s.t = z.t),
+ msg AS (SELECT a.h, u.i, sum(u.v * a.att) AS n_val
+         FROM att a JOIN ent et ON et.id = a.t,
+              LATERAL (SELECT unnest(et.e) AS v,
+                              unnest(generate_series(1, {d})) AS i) u
+         GROUP BY a.h, u.i),
+ base AS (SELECT id AS h, unnest(generate_series(1, {d})) AS i,
+                 unnest(e) AS e_h
+          FROM ent),
+ comb AS (SELECT b.h, b.i,
+                 b.e_h + coalesce(m.n_val, 0.0) AS s,
+                 b.e_h * coalesce(m.n_val, 0.0) AS p
+          FROM base b LEFT JOIN msg m ON m.h = b.h AND m.i = b.i),
+ lin AS (SELECT c.h, ww.j, sum(c.s * ww.w1) AS z1, sum(c.p * ww.w2) AS z2
+         FROM comb c JOIN w12 ww ON ww.i = c.i
+         GROUP BY c.h, ww.j)
+SELECT CAST(h AS BIGINT) AS h, CAST(j AS BIGINT) AS j,
+       round({leaky('z1')} + {leaky('z2')}, 6) AS e_out
+FROM lin
+"""
+
+
 def el_threshold_sweep_sql(candidates_path: str, links_path: str, thetas) -> str:
     """Mirrors kgp.stages.linking.threshold_sweep over the materialized
     gold candidate/link tables (the Spark side sweeps the live pipeline's
@@ -910,4 +988,185 @@ WITH t AS (
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(avg(greatest(d, 0) + ln(1 + exp(-abs(d)))), 6) AS bpr_loss
 FROM t
+"""
+
+
+def crf_nll_sql(transcripts_path: str, surfaces) -> str:
+    """Twin of kgp.functions.losses.crf_nll over the transcripts fixture
+    (all-O gold labeling, the __spark_entry__ query's configuration).
+
+    The forward algorithm's log-sum-exp recursion over time steps runs as a
+    DuckDB RECURSIVE CTE with the 9-label alpha vector pivoted into columns
+    (a0..a8) — each step is a pure scalar expression over the previous
+    step's columns, so no aggregate is needed in the recursive term. The
+    emission model (gazetteer B-/I- membership, CRF/modeling_bert.py:85-94
+    surrogate) is rebuilt IN SQL from the (surface, etype) list via the
+    same tokenize chain the Spark side uses, and the transition/start
+    constants are generated from kgp.functions.surrogate.transition_matrix
+    — one source of truth, two executors. Max-shifted log-sum-exp matches
+    the numpy form term-for-term (same 9-term order), so float64 results
+    agree to well below the 1e-6 rounding the compare hashes.
+    """
+    from kgp.functions.surrogate import ENTITY_TYPES, LABELS, NEG, transition_matrix
+
+    L = len(LABELS)
+    tr = transition_matrix()
+    start = [NEG if lb.startswith("I-") else 0.0 for lb in LABELS]
+
+    def tok_expr(col: str) -> str:
+        # control-strip -> lower -> punct spacing -> \s+ split, drop empties
+        # (tokenize_batch chain; collapse+strip are redundant under the split)
+        return (
+            "list_filter(string_split_regex(regexp_replace(lower("
+            f"regexp_replace(coalesce({col}, ''), "
+            r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')), "
+            '\'([.,!?;:()\\[\\]"\'\'])\', \' \\1 \', \'g\'), '
+            r"'\s+'), x -> x <> '')"
+        )
+
+    surf_values = ",\n    ".join(
+        "('{}', '{}')".format(s.replace("'", "''"), t) for s, t in surfaces
+    )
+    types = list(ENTITY_TYPES)
+    mask_cols = ", ".join(
+        f"bool_or(etype = '{t}') AS {t.lower()}" for t in types
+    )
+
+    def em_col(j: int) -> str:
+        # explicit DOUBLE casts: bare literals type as DECIMAL in DuckDB and
+        # the recursive UNION ALL pins the base branch's types
+        lb = LABELS[j]
+        if lb == "O":
+            return f"CAST(1.0 AS DOUBLE) AS e{j}"
+        side = "b" if lb.startswith("B-") else "i"
+        return (
+            f"CASE WHEN {side}m.{lb[2:].lower()} THEN CAST(2.0 AS DOUBLE) "
+            f"ELSE CAST({NEG!r} AS DOUBLE) END AS e{j}"
+        )
+
+    em_cols = ",\n         ".join(em_col(j) for j in range(L))
+    base_cols = ",\n         ".join(
+        (f"e{j} AS a{j}" if start[j] == 0.0 else f"({start[j]!r} + e{j}) AS a{j}")
+        for j in range(L)
+    )
+
+    def step_col(j: int) -> str:
+        terms = [
+            (f"p.a{i}" if tr[i][j] == 0.0 else f"(p.a{i} + {tr[i][j]!r})")
+            for i in range(L)
+        ]
+        mx = f"greatest({', '.join(terms)})"
+        s = " + ".join(f"exp({t} - {mx})" for t in terms)
+        return f"({mx} + ln({s}) + e.e{j}) AS a{j}"
+
+    step_cols = ",\n         ".join(step_col(j) for j in range(L))
+    a_list = ", ".join(f"a{j}" for j in range(L))
+    fin_sum = " + ".join(f"exp(a{j} - mx)" for j in range(L))
+
+    return f"""
+WITH RECURSIVE turns AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         {tok_expr('text')} AS toks
+  FROM read_parquet('{transcripts_path}')
+),
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS t
+  FROM turns
+),
+surf(surface, etype) AS (VALUES
+    {surf_values}
+),
+stok AS (
+  SELECT etype,
+         unnest({tok_expr('surface')}) AS tok,
+         unnest(generate_series(1, len({tok_expr('surface')}))) AS st
+  FROM surf
+),
+bmask AS (SELECT tok, {mask_cols} FROM stok WHERE st = 1 GROUP BY tok),
+imask AS (SELECT tok, {mask_cols} FROM stok WHERE st > 1 GROUP BY tok),
+em AS (
+  SELECT k.conv_id, k.turn_idx, k.t,
+         {em_cols}
+  FROM tok k
+  LEFT JOIN bmask bm ON bm.tok = k.tok
+  LEFT JOIN imask im ON im.tok = k.tok
+),
+alpha AS (
+  SELECT conv_id, turn_idx, t,
+         {base_cols}
+  FROM em WHERE t = 1
+  UNION ALL
+  SELECT e.conv_id, e.turn_idx, e.t,
+         {step_cols}
+  FROM alpha p
+  JOIN em e ON e.conv_id = p.conv_id AND e.turn_idx = p.turn_idx
+           AND e.t = p.t + 1
+),
+lens AS (SELECT conv_id, turn_idx, len(toks) AS n FROM turns),
+fin AS (
+  SELECT a.conv_id, a.turn_idx, greatest({a_list}) AS mx, {a_list}
+  FROM alpha a JOIN lens l
+    ON a.conv_id = l.conv_id AND a.turn_idx = l.turn_idx AND a.t = l.n
+),
+logz AS (
+  SELECT conv_id, turn_idx, mx + ln({fin_sum}) AS logz FROM fin
+),
+gold AS (
+  -- all-O path: start(O)=0, trans(O->O)=0, so score = sum of O emissions
+  SELECT conv_id, turn_idx, sum(e0) AS g FROM em GROUP BY conv_id, turn_idx
+)
+SELECT l.conv_id, l.turn_idx,
+       coalesce(round(z.logz - g.g, 6), 0.0) AS nll
+FROM lens l
+LEFT JOIN logz z ON z.conv_id = l.conv_id AND z.turn_idx = l.turn_idx
+LEFT JOIN gold g ON g.conv_id = l.conv_id AND g.turn_idx = l.turn_idx
+"""
+
+
+def kgat_cf_eval_sql(k: int, seed: int, user_mod: int) -> str:
+    """Twin of the full-ranking CF eval (J7 mask + W3 ranking + A11
+    metrics, KGAT-pytorch/utility/metrics.py:121-146): same md5-derived
+    deterministic train/test split and score table over the
+    orders x lineitem interactions, same per-user window, same
+    ndcg rounding discipline as metric_ann_recall_sql."""
+    return f"""
+WITH {_CF_POS},
+ users AS (SELECT DISTINCT u FROM pos WHERE u % {user_mod} = 1),
+ items AS (SELECT DISTINCT item FROM pos),
+ split AS (
+   SELECT u, item,
+          CAST(('0x' || substr(md5(concat_ws('|', 'cfsplit', u, item)), 1, 15))
+               AS UBIGINT) % 5 AS s
+   FROM pos),
+ train AS (SELECT u, item FROM split WHERE s < 3),
+ test AS (SELECT u, item FROM split WHERE s >= 3),
+ scores AS (
+   SELECT users.u, items.item,
+          CAST(CAST(('0x' || substr(md5(concat_ws('|', '{seed}', users.u, items.item)), 1, 15))
+               AS UBIGINT) AS DOUBLE) / 1152921504606846976 AS score
+   FROM users, items),
+ masked AS (SELECT s.* FROM scores s
+            ANTI JOIN train t ON t.u = s.u AND t.item = s.item),
+ topk AS (SELECT * FROM (
+     SELECT *, row_number() OVER (PARTITION BY u ORDER BY score DESC, item) AS rank
+     FROM masked) WHERE rank <= {k}),
+ truth AS (SELECT t.u, t.item FROM test t JOIN users USING (u)),
+ hits AS (SELECT a.u, a.item, a.rank,
+                 CASE WHEN t.item IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM topk a LEFT JOIN truth t ON a.u = t.u AND a.item = t.item),
+ ntr AS (SELECT u, count(*) AS n_true FROM truth GROUP BY u),
+ per AS (SELECT u, sum(hit) AS n_hit,
+                sum((pow(2.0, hit) - 1) / log2(rank + 1)) AS dcg
+         FROM hits GROUP BY u)
+SELECT per.u AS "user", CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_true AS BIGINT) AS n_true,
+       n_hit / {k} AS precision_at_k,
+       n_hit / n_true AS recall_at_k,
+       round(dcg / greatest(
+         list_aggregate(list_transform(range(1, CAST(least(n_true, {k}) AS BIGINT) + 1),
+                                       i -> 1.0 / log2(i + 1)), 'sum'),
+         1e-12), 9) AS ndcg_at_k
+FROM per JOIN ntr ON per.u = ntr.u
 """

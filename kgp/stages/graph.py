@@ -207,3 +207,87 @@ def edge_softmax(edges_scored: DataFrame) -> DataFrame:
     return edges_scored.join(denom, "t").withColumn(
         "att", F.exp("score") / F.col("z")
     )
+
+
+def kgat_aggregate(
+    spark,
+    edges_att: DataFrame,
+    ent_emb,
+    w1,
+    w2,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """One KGAT bi-interaction aggregation round over softmaxed edges
+    (KGAT-pytorch/model/KGAT.py:38-108 ``Aggregator`` bi-interaction
+    branch): per node h,
+
+        e_N(h)  = sum over out-edges (h, r, t) of  att * e_t
+        e_h'[j] = LeakyReLU( sum_i (e_h + e_N)[i] * W1[i][j] )
+                + LeakyReLU( sum_i (e_h * e_N)[i] * W2[i][j] )
+
+    -> one row per (h, j): ``(h, j, e_out)``, for all entities in the
+    embedding table (a node with no out-edges aggregates e_N = 0, like an
+    empty adjacency row in the reference's sparse matmul).
+
+    Dataflow (all built-in expressions, zero Python in the hot path):
+    the big edge table broadcast-joins the entity-embedding dim on ``t``,
+    scales by ``att``, then posexplodes to (h, i, val) so the neighbor
+    sum is a plain groupBy(h, i) with map-side partial aggregation — a
+    high-out-degree hub costs one combiner per dimension, never one task.
+    The d_in x d_out linear maps run the same way: posexplode + broadcast
+    join against the (i, j, w1, w2) weight table + groupBy(h, j). At 100
+    TB the only shuffles are uniform (h, i)/(h, j) key aggs; embeddings
+    and weights ship once per executor as broadcasts.
+    """
+    d_in = len(ent_emb[0])
+    emb_rows = [(i, [float(x) for x in row]) for i, row in enumerate(ent_emb)]
+    emb_df = spark.createDataFrame(emb_rows, "id long, emb array<double>")
+    w_rows = [
+        (i, j, float(w1[i][j]), float(w2[i][j]))
+        for i in range(d_in)
+        for j in range(len(w1[0]))
+    ]
+    w_df = spark.createDataFrame(w_rows, "i int, j int, w1 double, w2 double")
+
+    msgs = (
+        edges_att.join(F.broadcast(emb_df), edges_att["t"] == emb_df["id"])
+        .select(
+            "h",
+            F.posexplode(F.transform("emb", lambda x: x * F.col("att"))).alias(
+                "i", "val"
+            ),
+        )
+        .groupBy("h", "i")
+        .agg(F.sum("val").alias("n_val"))
+    )
+    # every entity participates; missing (h, i) -> e_N[i] = 0
+    base = emb_df.select(
+        F.col("id").alias("h"), F.posexplode("emb").alias("i", "e_h")
+    )
+    combined = (
+        base.join(msgs, ["h", "i"], "left")
+        .withColumn("e_n", F.coalesce("n_val", F.lit(0.0)))
+        .select(
+            "h",
+            "i",
+            (F.col("e_h") + F.col("e_n")).alias("s"),
+            (F.col("e_h") * F.col("e_n")).alias("p"),
+        )
+    )
+    lin = (
+        combined.join(F.broadcast(w_df), "i")
+        .groupBy("h", "j")
+        .agg(
+            F.sum(F.col("s") * F.col("w1")).alias("z1"),
+            F.sum(F.col("p") * F.col("w2")).alias("z2"),
+        )
+    )
+
+    def leaky(c):
+        return F.when(c > 0, c).otherwise(alpha * c)
+
+    return lin.select(
+        "h",
+        F.col("j").cast("long").alias("j"),
+        (leaky(F.col("z1")) + leaky(F.col("z2"))).alias("e_out"),
+    )

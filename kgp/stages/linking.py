@@ -229,7 +229,10 @@ def link_clusters(
     return links, candidates
 
 
-EL_SWEEP_THETAS = (0.35, 0.5, 0.65, 0.8, 0.9, 0.95)
+# surrogate-calibrated grid (the char-ngram Jaccard scorer's useful range)
+# UNION the reference's own sweep {0.9, 0.95, 0.98, 0.99, 0.995}
+# (eval_el.py:443-455) — grid parity so a reference user sees their θs
+EL_SWEEP_THETAS = (0.35, 0.5, 0.65, 0.8, 0.9, 0.95, 0.98, 0.99, 0.995)
 
 
 def threshold_sweep(

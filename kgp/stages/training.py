@@ -43,6 +43,7 @@ def negative_sample_items(
     seed: int = 42,
     user_col: str = "user",
     item_col: str = "item",
+    n_items: int | None = None,
 ) -> DataFrame:
     """One negative item per positive (user, item) interaction.
 
@@ -53,12 +54,19 @@ def negative_sample_items(
     dropped — with attempts=12 and any realistic positives/items ratio
     the collision probability is (density)^12, i.e. never at scale).
 
-    ``n_items`` follows the reference's ``self.n_items`` = max(item)+1,
-    computed as a broadcast 1-row aggregate (no driver action).
+    ``n_items`` defaults to the data-derived max(item)+1 as a broadcast
+    1-row aggregate (no driver action). The reference's ``self.n_items``
+    is the FULL item universe (train+test, loader_base.py statistics); a
+    caller sampling over a train split should pass that universe size
+    explicitly, or candidates can never hit items unseen in the split —
+    a slight bias in the negative distribution.
     """
     user, item = F.col(user_col), F.col(item_col)
     pos = cf.select(user.alias("user"), item.alias("item")).distinct()
-    stats = pos.agg((F.max("item") + 1).alias("_n_items"))
+    if n_items is not None:
+        stats = cf.sparkSession.range(1).select(F.lit(n_items).alias("_n_items"))
+    else:
+        stats = pos.agg((F.max("item") + 1).alias("_n_items"))
     props = (
         pos.crossJoin(F.broadcast(stats))
         .select(

@@ -267,3 +267,39 @@ def test_crf_nll_df_gold_path_below_null_path(spark):
     assert out[0] < out[1]
     assert out[2] == 0.0
     assert all(v >= 0 for v in out.values())
+
+
+def test_crf_nll_sql_twin_matches_spark(spark):
+    """The DuckDB recursive-CTE forward pass (oracles.crf_nll_sql) must
+    reproduce the Spark crf_nll query value-for-value — the differential
+    the driver records for loss_crf_nll, pinned here at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from kgp import oracles
+    from kgp.fixtures import (
+        fixture_config_for_sf,
+        make_gazetteer,
+        sf_from_dir,
+        tagger_surfaces,
+    )
+    from kgp.entry_support import ensure_fixtures
+
+    sf_dir = entry.SF001
+    fdir = ensure_fixtures(sf_dir)
+    sf = sf_from_dir(sf_dir)
+    surfaces = tagger_surfaces(make_gazetteer(fixture_config_for_sf(sf, skew=sf >= 0.05)))
+    sql = oracles.crf_nll_sql(
+        os.path.join(fdir, "transcripts.parquet"), surfaces
+    )
+    want = {
+        (c, t): n for c, t, n in duckdb.connect().execute(sql).fetchall()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.nll
+        for r in entry.queries()["loss_crf_nll"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert v == pytest.approx(want[k], abs=1e-9), k
+    assert any(v > 0 for v in got.values())  # gazetteer hits exist at sf0.001

@@ -38,16 +38,26 @@ def main(path: str) -> None:
     cpu_ns = 0.0
     task_counts: dict[int, int] = {}
     job_window = [None, None]
+    app_window = [None, None]
     def lines():
         for p in path:
             if p.endswith(".zstd"):
                 import io
 
-                import zstandard  # bundled with pyspark deps
+                try:
+                    import zstandard
 
-                with open(p, "rb") as f:
-                    r = zstandard.ZstdDecompressor().stream_reader(f)
-                    yield from io.TextIOWrapper(r, encoding="utf-8")
+                    with open(p, "rb") as f:
+                        r = zstandard.ZstdDecompressor().stream_reader(f)
+                        yield from io.TextIOWrapper(r, encoding="utf-8")
+                except ModuleNotFoundError:
+                    # no python-zstandard in this env; pyarrow streams it
+                    import pyarrow as pa
+
+                    with pa.input_stream(p, compression="zstd") as r:
+                        yield from io.TextIOWrapper(
+                            io.BytesIO(r.read()), encoding="utf-8"
+                        )
             elif p.endswith(("appstatus", "inprogress")) or "appstatus" in p:
                 continue
             else:
@@ -60,7 +70,11 @@ def main(path: str) -> None:
             except json.JSONDecodeError:
                 continue
             ev = e.get("Event")
-            if ev == "SparkListenerJobStart":
+            if ev == "SparkListenerApplicationStart":
+                app_window[0] = e.get("Timestamp")
+            elif ev == "SparkListenerApplicationEnd":
+                app_window[1] = e.get("Timestamp")
+            elif ev == "SparkListenerJobStart":
                 t = e.get("Submission Time")
                 if t and (job_window[0] is None or t < job_window[0]):
                     job_window[0] = t
@@ -94,6 +108,14 @@ def main(path: str) -> None:
             merged.append([s, c])
     covered = sum(c - s for s, c in merged) / 1000.0
     wall = (job_window[1] - job_window[0]) / 1000.0
+    # app wall includes the driver-only time BEFORE the first job submit
+    # (session build, Catalyst analysis of the first query) that the
+    # job-span window hides — report both so the serial floor is honest
+    if app_window[0] is not None and app_window[1] is not None:
+        app_wall = (app_window[1] - app_window[0]) / 1000.0
+        pre = (job_window[0] - app_window[0]) / 1000.0
+        print(f"app wall (ApplicationStart -> End): {app_wall:.1f} s"
+              f"   pre-first-job driver time: {pre:.1f} s")
     print(f"wall (first submit -> last job end): {wall:.1f} s")
     print(f"stage-covered time: {covered:.1f} s   driver-only gaps: {wall - covered:.1f} s")
     print(f"sum task time: {task_ms / 1000.0:.1f} core-s   executor CPU in tasks: {cpu_ns / 1e9:.1f} core-s")

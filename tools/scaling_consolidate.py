@@ -35,19 +35,33 @@ def load_pool() -> list[dict]:
     return []
 
 
+def _meas_key(r: dict, sf) -> tuple:
+    # dedup on the measurement tuple, NOT source/idx: re-consolidating the
+    # same run data under a renamed/copied JSON must not double-count legs
+    return (
+        r.get("cpus"),
+        r.get("e2e_sec"),
+        r.get("loadavg"),
+        r.get("steal_pct"),
+        os.path.basename((sf or "sf?").rstrip("/")),
+    )
+
+
 def main(paths: list[str]) -> None:
     pool = load_pool()
-    seen = {json.dumps(r, sort_keys=True) for r in pool}
+    seen = {_meas_key(r, r.get("sf")) for r in pool}
     for p in paths:
         with open(p) as f:
             d = json.load(f)
         tag = os.path.basename(p)
         for i, r in enumerate(d.get("all_runs", [])):
             row = dict(r, source=tag, idx=i, sf=d.get("sf"))
-            k = json.dumps(row, sort_keys=True)
+            k = _meas_key(r, d.get("sf"))
             if k not in seen:
                 seen.add(k)
                 pool.append(row)
+            else:
+                print(f"skip duplicate leg {k} from {tag}")
     with open(POOL, "w") as f:
         json.dump(pool, f, indent=1)
 
