@@ -74,6 +74,62 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id")).select("doc_id", text_col)
 
 
+def _local_reuse(df: DataFrame) -> DataFrame:
+    """Default multi-consumer reuse point: lazy localCheckpoint.
+
+    SINGLE-BOX ASSUMPTION: local checkpoints live in executor block
+    storage and are NOT fault-tolerant on executor loss — fine in
+    local[N] (one JVM), wrong on a real cluster. Cluster callers pass a
+    stage-table ``reuse`` instead (see :func:`run_dedup_resumable`),
+    which persists the intermediate through the lineage runner and is
+    resumable mid-run."""
+    return df.localCheckpoint(eager=False)
+
+
+def run_dedup_resumable(
+    spark,
+    df: DataFrame,
+    outdir: str,
+    method: str = "minhash",
+    fingerprint: str | None = None,
+    **kw,
+):
+    """Cluster-mode dedup entry: runs :func:`ngram_jaccard_pairs` /
+    :func:`minhash_lsh_pairs` with their self-joined intermediate
+    (shingle posting list / banded signatures) persisted as a LineageLog
+    stage TABLE instead of a localCheckpoint — executor-loss safe, and a
+    crashed run resumes past the (expensive) shingling/signature pass.
+    The final pair table is itself committed as a stage, so a finished
+    dedup is a no-op on re-run.
+    """
+    import hashlib
+
+    from kgp.lineage import LineageLog
+
+    log = LineageLog(outdir, n_buckets=16)
+    if fingerprint is None:
+        h = df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"), F.count("*").alias("n")
+        ).first()
+        fingerprint = f"{h['h']}:{h['n']}"
+    fingerprint += ":" + hashlib.md5(repr(sorted(kw.items())).encode()).hexdigest()[:8]
+
+    def stage_reuse(name):
+        return lambda d: log.run_stage(spark, name, fingerprint, lambda: d, bucket_on=None)
+
+    if method == "minhash":
+        build = lambda: minhash_lsh_pairs(  # noqa: E731
+            df, reuse=stage_reuse("minhash_banded"), **kw
+        )
+    elif method == "ngram":
+        build = lambda: ngram_jaccard_pairs(  # noqa: E731
+            df, reuse=stage_reuse("ngram_posting"), **kw
+        )
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    return log.run_stage(spark, f"dedup_{method}_pairs", fingerprint, build, bucket_on=None)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -81,6 +137,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
     on_drop=None,
+    reuse=_local_reuse,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) with shingle Jaccard >= threshold.
 
@@ -97,9 +154,10 @@ def ngram_jaccard_pairs(
     in lineage pass their metrics hook here.
     """
     sh = word_shingles(df, text_col, n).withColumn("n_sh", F.size("shingles"))
-    # both sides of the self-join read this; checkpoint so shingling +
-    # hashing runs once, not once per side
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("g")).localCheckpoint(eager=False)
+    # both sides of the self-join read this; the reuse point makes
+    # shingling run once, not once per side (default: localCheckpoint,
+    # single-box only — see _local_reuse / run_dedup_resumable)
+    ex = reuse(sh.select("doc_id", "n_sh", F.explode("shingles").alias("g")))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("g")
@@ -149,6 +207,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket_size: int | None = 1000,
     on_drop=None,
+    reuse=_local_reuse,
 ) -> DataFrame:
     """Candidate pairs agreeing on at least one full LSH band.
 
@@ -185,9 +244,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    # self-joined below — checkpoint so the K-permutation signature
-    # computation runs once
-    banded = banded.localCheckpoint(eager=False)
+    # self-joined below — the reuse point makes the K-permutation
+    # signature computation run once (default: localCheckpoint,
+    # single-box only — see _local_reuse / run_dedup_resumable)
+    banded = reuse(banded)
     if max_bucket_size is not None:
         big = (
             banded.groupBy("band", "key")

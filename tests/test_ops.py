@@ -322,3 +322,33 @@ def test_extract_features_real_decoders(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|compressed image"):
         extract_features(bad, use_stub=False).collect()
+
+
+def test_run_dedup_resumable_matches_and_resumes(spark, docs, tmp_path):
+    """The lineage-backed dedup entry (stage-table reuse instead of
+    localCheckpoint) yields identical pairs, and a re-run resumes from
+    the committed stage tables instead of recomputing."""
+    import os
+
+    from kgp.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, run_dedup_resumable
+
+    for method, direct in (
+        ("minhash", lambda: minhash_lsh_pairs(docs, k=32, bands=8)),
+        ("ngram", lambda: ngram_jaccard_pairs(docs, threshold=0.5)),
+    ):
+        out = str(tmp_path / method)
+        kw = {"k": 32, "bands": 8} if method == "minhash" else {"threshold": 0.5}
+        got = run_dedup_resumable(spark, docs, out, method=method, **kw)
+        want = {tuple(sorted((r["doc_a"], r["doc_b"]))) for r in direct().collect()}
+        assert {
+            tuple(sorted((r["doc_a"], r["doc_b"]))) for r in got.collect()
+        } == want
+        # intermediate + final stage tables committed with manifests
+        manifest = os.path.join(out, "_lineage", f"dedup_{method}_pairs.json")
+        assert os.path.exists(manifest)
+        assert os.path.isdir(os.path.join(out, f"dedup_{method}_pairs", "data"))
+        # second run resumes: same rows, stage manifest untouched
+        m0 = os.path.getmtime(manifest)
+        again = run_dedup_resumable(spark, docs, out, method=method, **kw)
+        assert again.count() == len(want)
+        assert os.path.getmtime(manifest) == m0

@@ -38,6 +38,8 @@ AUDIT = [
     "events_sessionize",
     "tpch_q1",
     "top_revenue",
+    "kgat_aggregate",
+    "kgat_cf_eval",
 ]
 
 
