@@ -530,6 +530,96 @@ def _cf_interactions(spark, sf_dir):
     )
 
 
+def _q_dedup_within_group(spark, sf_dir):
+    """A13: first row per group under a deterministic order (the
+    reference's stateful seen-set, prepare_training_datasets.py:82-100)
+    — each user's (event_type) groups keep the earliest event."""
+    from kgp.ops.dedup import dedup_within_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_within_group(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+
+
+_MARK_MAX_LEN = 16
+
+
+def _q_encode_markers(spark, sf_dir):
+    """P8/P9/P4: entity-marker insertion v2/v3 around same-turn gold
+    mention pairs (data_loader.py:203-266), rel_position_ids over the
+    marked sequence (:273-277), and the marker-overflow filter (P4:
+    sequences longer than max_len are dropped, as the reference drops
+    sentences whose marker positions exceed max_seq_length). One
+    Arrow-batched pandas pass; pair generation and the disjoint-span
+    precondition are relational filters BEFORE the UDF."""
+    import pandas as pd
+
+    from kgp.functions.encoding import insert_entity_markers, rel_position_ids
+    from kgp.functions.surrogate import tokenize_batch
+
+    m = _gold(spark, sf_dir, "gold_mentions").select(
+        "conv_id", "turn_idx", "start", "end", "mention_id"
+    )
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "text"
+    )
+    h = m.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("hs"), F.col("end").alias("he"),
+        F.col("mention_id").alias("head_id"),
+    )
+    tl = m.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("ts"), F.col("end").alias("te"),
+        F.col("mention_id").alias("tail_id"),
+    )
+    pairs = (
+        h.join(tl, ["conv_id", "turn_idx"])
+        .where(
+            (F.col("head_id") < F.col("tail_id"))
+            & ((F.col("he") <= F.col("ts")) | (F.col("te") <= F.col("hs")))
+        )
+        .join(t, ["conv_id", "turn_idx"])
+    )
+    cols = [
+        "conv_id", "turn_idx", "head_id", "tail_id", "variant", "marked",
+        "head_start", "head_end", "tail_start", "tail_end", "relpos",
+    ]
+    schema = (
+        "conv_id string, turn_idx long, head_id long, tail_id long, "
+        "variant string, marked string, head_start long, head_end long, "
+        "tail_start long, tail_end long, relpos string"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            toks_list = tokenize_batch(pdf["text"])
+            rows = []
+            it = pdf[
+                ["conv_id", "turn_idx", "head_id", "tail_id", "hs", "he", "ts", "te"]
+            ].itertuples(index=False, name=None)
+            for (ci, ti, hid, tid, hs, he, ts, te), toks in zip(it, toks_list):
+                for variant in ("v2", "v3"):
+                    out, head, tail = insert_entity_markers(
+                        toks, (hs, he), (ts, te), variant
+                    )
+                    if len(out) > _MARK_MAX_LEN:
+                        continue  # P4 marker-overflow filter
+                    rp = rel_position_ids(len(out), head, tail)
+                    rows.append(
+                        (ci, int(ti), int(hid), int(tid), variant, " ".join(out),
+                         head[0], head[1], tail[0], tail[1],
+                         ",".join(map(str, rp)))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
 _CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD = 20, 7, 97
 
 
@@ -892,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-support ops (J9, W5, F8)
         "kgat_neg_sample": _q_neg_sample,
         "kgat_cf_eval": _q_kgat_cf_eval,
+        "encode_markers": _q_encode_markers,
+        "dedup_within_group": _q_dedup_within_group,
         "train_early_stop": _q_early_stop,
         "loss_focal": _q_loss_focal,
         "loss_dice": _q_loss_dice,
@@ -1007,7 +1099,11 @@ def oracle_sql() -> dict[str, str]:
         "loss_dice": oracles.dice_loss_sql(_DICE_SMOOTH),
         "loss_bpr": oracles.bpr_loss_sql(),
         "loss_crf_nll": _crf_nll_oracle(os.path.join(fdir, "transcripts.parquet")),
+        "encode_markers": oracles.encode_markers_sql(
+            os.path.join(fdir, "transcripts.parquet"), g("gold_mentions"), _MARK_MAX_LEN
+        ),
         "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_within_group": oracles.dedup_within_group_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(16, 4, 3),
         "dedup_simhash": oracles.simhash_sql(),

@@ -991,6 +991,19 @@ FROM t
 """
 
 
+def _tok_expr(col: str) -> str:
+    """SQL twin of kgp.functions.surrogate.tokenize: control-strip ->
+    lower -> punct spacing -> \\s+ split, drop empties (collapse+strip
+    are redundant under the final split, as tokenize_batch proves)."""
+    return (
+        "list_filter(string_split_regex(regexp_replace(lower("
+        f"regexp_replace(coalesce({col}, ''), "
+        r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')), "
+        '\'([.,!?;:()\\[\\]"\'\'])\', \' \\1 \', \'g\'), '
+        r"'\s+'), x -> x <> '')"
+    )
+
+
 def crf_nll_sql(transcripts_path: str, surfaces) -> str:
     """Twin of kgp.functions.losses.crf_nll over the transcripts fixture
     (all-O gold labeling, the __spark_entry__ query's configuration).
@@ -1013,16 +1026,7 @@ def crf_nll_sql(transcripts_path: str, surfaces) -> str:
     tr = transition_matrix()
     start = [NEG if lb.startswith("I-") else 0.0 for lb in LABELS]
 
-    def tok_expr(col: str) -> str:
-        # control-strip -> lower -> punct spacing -> \s+ split, drop empties
-        # (tokenize_batch chain; collapse+strip are redundant under the split)
-        return (
-            "list_filter(string_split_regex(regexp_replace(lower("
-            f"regexp_replace(coalesce({col}, ''), "
-            r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')), "
-            '\'([.,!?;:()\\[\\]"\'\'])\', \' \\1 \', \'g\'), '
-            r"'\s+'), x -> x <> '')"
-        )
+    tok_expr = _tok_expr
 
     surf_values = ",\n    ".join(
         "('{}', '{}')".format(s.replace("'", "''"), t) for s, t in surfaces
@@ -1169,4 +1173,119 @@ SELECT per.u AS "user", CAST(n_hit AS BIGINT) AS n_hit,
                                        i -> 1.0 / log2(i + 1)), 'sum'),
          1e-12), 9) AS ndcg_at_k
 FROM per JOIN ntr ON per.u = ntr.u
+"""
+
+
+def encode_markers_sql(
+    transcripts_path: str, gold_path: str, max_len: int
+) -> str:
+    """Twin of the P8/P9/P4 encode_markers query: entity-marker insertion
+    v2/v3 (data_loader.py:203-266), rel_position_ids over the marked
+    sequence (:273-277), and the marker-overflow filter (P4) — all as
+    DuckDB list slicing over the same tokenize chain. Spans are 0-based
+    [s, e) word indexes; DuckDB list slices are 1-based inclusive, hence
+    the +-1 bookkeeping. Pairs are same-turn gold-mention pairs with
+    head.mention_id < tail.mention_id and disjoint spans (the insertion
+    precondition), in either sentence order."""
+    from kgp.functions.encoding import (
+        HEAD_CLOSE,
+        HEAD_OPEN,
+        HEAD_REPL,
+        TAIL_CLOSE,
+        TAIL_OPEN,
+        TAIL_REPL,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         {_tok_expr('text')} AS toks
+  FROM read_parquet('{transcripts_path}')
+),
+m AS (SELECT conv_id, turn_idx, "start" AS s, "end" AS e, mention_id
+      FROM read_parquet('{gold_path}')),
+pairs AS (
+  SELECT h.conv_id, h.turn_idx,
+         h.mention_id AS head_id, tl.mention_id AS tail_id,
+         h.s AS hs, h.e AS he, tl.s AS ts, tl.e AS te
+  FROM m h JOIN m tl
+    ON h.conv_id = tl.conv_id AND h.turn_idx = tl.turn_idx
+  WHERE h.mention_id < tl.mention_id
+    AND (h.e <= tl.s OR tl.e <= h.s)
+),
+j AS (
+  SELECT p.*, t.toks,
+         least(p.hs, p.ts) AS s1,
+         CASE WHEN p.hs < p.ts THEN p.he ELSE p.te END AS e1,
+         greatest(p.hs, p.ts) AS s2,
+         CASE WHEN p.hs < p.ts THEN p.te ELSE p.he END AS e2,
+         p.hs < p.ts AS head_first
+  FROM pairs p JOIN t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+),
+v2 AS (
+  SELECT *,
+         toks[1:s1]
+           || [CASE WHEN head_first THEN '{HEAD_OPEN}' ELSE '{TAIL_OPEN}' END]
+           || toks[s1 + 1:e1]
+           || [CASE WHEN head_first THEN '{HEAD_CLOSE}' ELSE '{TAIL_CLOSE}' END]
+           || toks[e1 + 1:s2]
+           || [CASE WHEN head_first THEN '{TAIL_OPEN}' ELSE '{HEAD_OPEN}' END]
+           || toks[s2 + 1:e2]
+           || [CASE WHEN head_first THEN '{TAIL_CLOSE}' ELSE '{HEAD_CLOSE}' END]
+           || toks[e2 + 1:] AS marked,
+         s1 AS f_s, e1 + 2 AS f_e, s2 + 2 AS g_s, e2 + 4 AS g_e
+  FROM j
+),
+v3 AS (
+  SELECT *,
+         toks[1:s1]
+           || [CASE WHEN head_first THEN '{HEAD_REPL}' ELSE '{TAIL_REPL}' END]
+           || toks[e1 + 1:s2]
+           || [CASE WHEN head_first THEN '{TAIL_REPL}' ELSE '{HEAD_REPL}' END]
+           || toks[e2 + 1:] AS marked,
+         s1 AS f_s, s1 + 1 AS f_e,
+         s1 + 1 + s2 - e1 AS g_s, s1 + 2 + s2 - e1 AS g_e
+  FROM j
+),
+u AS (
+  SELECT conv_id, turn_idx, head_id, tail_id, 'v2' AS variant, marked,
+         head_first, f_s, f_e, g_s, g_e FROM v2
+  UNION ALL
+  SELECT conv_id, turn_idx, head_id, tail_id, 'v3' AS variant, marked,
+         head_first, f_s, f_e, g_s, g_e FROM v3
+),
+spans AS (
+  SELECT *,
+         CASE WHEN head_first THEN f_s ELSE g_s END AS head_start,
+         CASE WHEN head_first THEN f_e ELSE g_e END AS head_end,
+         CASE WHEN head_first THEN g_s ELSE f_s END AS tail_start,
+         CASE WHEN head_first THEN g_e ELSE f_e END AS tail_end
+  FROM u WHERE len(marked) <= {max_len}
+)
+SELECT conv_id, turn_idx, head_id, tail_id, variant,
+       array_to_string(marked, ' ') AS marked,
+       CAST(head_start AS BIGINT) AS head_start,
+       CAST(head_end AS BIGINT) AS head_end,
+       CAST(tail_start AS BIGINT) AS tail_start,
+       CAST(tail_end AS BIGINT) AS tail_end,
+       array_to_string(
+         list_transform(generate_series(0, len(marked) - 1),
+           i -> CASE WHEN i >= head_start AND i < head_end THEN 1
+                     WHEN i >= tail_start AND i < tail_end THEN 2
+                     ELSE 0 END),
+         ',') AS relpos
+FROM spans
+"""
+
+
+def dedup_within_group_sql() -> str:
+    """Twin of kgp.ops.dedup.dedup_within_group over events: first row
+    per (user_id, event_type) ordered by (ts, event_id)."""
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
 """
