@@ -530,6 +530,22 @@ def _cf_interactions(spark, sf_dir):
     )
 
 
+def _q_cf_user_items(spark, sf_dir):
+    """A3: per-user sorted distinct item set (loader_kgat.py:56-62
+    ``train_user_dict``) over the CF adjacency fixture — grouped
+    collect_set with a deterministic sort, emitted as a comma-joined
+    string for hash-stable compare."""
+    from kgp.io.readers import read_cf_adjacency
+
+    cf = read_cf_adjacency(spark, _reader_paths()["cf_train.txt"])
+    return cf.groupBy(F.col("user").cast("long").alias("user")).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("item")), lambda x: x.cast("string")),
+            ",",
+        ).alias("items")
+    )
+
+
 def _q_dedup_within_group(spark, sf_dir):
     """A13: first row per group under a deterministic order (the
     reference's stateful seen-set, prepare_training_datasets.py:82-100)
@@ -984,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgat_cf_eval": _q_kgat_cf_eval,
         "encode_markers": _q_encode_markers,
         "dedup_within_group": _q_dedup_within_group,
+        "cf_user_items": _q_cf_user_items,
         "train_early_stop": _q_early_stop,
         "loss_focal": _q_loss_focal,
         "loss_dice": _q_loss_dice,
@@ -1088,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "read_cdn": oracles.read_cdn_sql(rp["cdn.json"]),
         "read_kg_triples": oracles.read_kg_triples_sql(rp["kg_final.txt"]),
         "read_cf_adjacency": oracles.read_cf_adjacency_sql(rp["cf_train.txt"]),
+        "cf_user_items": oracles.cf_user_items_sql(rp["cf_train.txt"]),
         "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
         "read_excel_dict": oracles.read_excel_dict_sql(rp["icd_dict.xlsx"] + ".csv"),
         "kgat_neg_sample": oracles.neg_sample_items_sql(_NEG_ATTEMPTS, _NEG_SEED),

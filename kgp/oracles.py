@@ -1289,3 +1289,13 @@ FROM (SELECT *, row_number() OVER (
       FROM events)
 WHERE rn = 1
 """
+
+
+def cf_user_items_sql(path: str) -> str:
+    """A3 twin: per-user sorted distinct item list, comma-joined."""
+    return f"""
+WITH adj AS ({read_cf_adjacency_sql(path).replace('"user"', 'u')})
+SELECT CAST(u AS BIGINT) AS "user",
+       string_agg(CAST(item AS VARCHAR), ',' ORDER BY item) AS items
+FROM adj GROUP BY u
+"""
