@@ -92,23 +92,39 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         # onto idle cores) overstates the small leg and understates the
         # scaling ratio. Pinning is the honest N-vs-4N emulation.
         cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
-    wait_for_calm()
-    load = loadavg()
-    t0, s0 = cpu_times()
-    out = subprocess.run(
-        cmd,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=int(os.environ.get("SCALE_RUN_TIMEOUT", "3600")),
-    )
-    t1, s1 = cpu_times()
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
-    r["loadavg_at_start"] = load
-    # steal % of total machine time during this leg's window
-    r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1.0), 2)
-    return r
+    attempts = int(os.environ.get("SCALE_LEG_RETRIES", "1")) + 1
+    last_err = None
+    for attempt in range(attempts):
+        wait_for_calm()
+        load = loadavg()
+        t0, s0 = cpu_times()
+        out = subprocess.run(
+            cmd,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SCALE_RUN_TIMEOUT", "3600")),
+        )
+        t1, s1 = cpu_times()
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            # a leg can die transiently (JVM crash, executor OOM under
+            # co-tenant pressure); surface ITS stderr instead of an opaque
+            # IndexError, and retry rather than killing the whole campaign
+            last_err = out.stderr.strip().splitlines()[-15:]
+            print(
+                f"leg cpus={cpus} attempt {attempt + 1}/{attempts} produced no "
+                f"result (rc={out.returncode}); stderr tail:\n"
+                + "\n".join(last_err),
+                flush=True,
+            )
+            continue
+        r = json.loads(lines[-1])
+        r["loadavg_at_start"] = load
+        # steal % of total machine time during this leg's window
+        r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1.0), 2)
+        return r
+    raise RuntimeError(f"leg cpus={cpus} failed {attempts} attempts: {last_err}")
 
 
 def main():
@@ -128,6 +144,7 @@ def main():
             runs.append({"cpus": c, "e2e_sec": r["queries"]["kg_pipeline_e2e"],
                          "loadavg": r["loadavg_at_start"],
                          "steal_pct": r.get("steal_pct", 0.0)})
+            print(json.dumps(runs[-1]), flush=True)  # leg-by-leg progress
             cur = best.get(c)
             if cur is None or r["queries"]["kg_pipeline_e2e"] < cur["queries"]["kg_pipeline_e2e"]:
                 best[c] = r
