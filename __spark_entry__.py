@@ -546,6 +546,21 @@ def _q_cf_user_items(spark, sf_dir):
     )
 
 
+def _q_metric_triple_prf(spark, sf_dir):
+    """The north-rule acceptance criterion as a driver-checked query:
+    micro P/R/F1 of the DISTRIBUTED pipeline's emitted triples against
+    the single-process oracle gold (the reference-twin). The oracle twin
+    evaluates gold-vs-gold (identically 1.0), so the hash compare holds
+    the live pipeline to exact parity — the P/R >= 0.95 contract with
+    margin."""
+    from kgp.metrics import micro_prf_df
+
+    on = ["conv_id", "subj", "pred", "obj"]
+    pred = _pipeline_outputs(spark, sf_dir)["triples"].select(*on).distinct()
+    gold = _gold(spark, sf_dir, "gold_triples").select(*on).distinct()
+    return micro_prf_df(pred, gold, on)
+
+
 def _q_dedup_within_group(spark, sf_dir):
     """A13: first row per group under a deterministic order (the
     reference's stateful seen-set, prepare_training_datasets.py:82-100)
@@ -1001,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_markers": _q_encode_markers,
         "dedup_within_group": _q_dedup_within_group,
         "cf_user_items": _q_cf_user_items,
+        "metric_triple_prf": _q_metric_triple_prf,
         "train_early_stop": _q_early_stop,
         "loss_focal": _q_loss_focal,
         "loss_dice": _q_loss_dice,
@@ -1106,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "read_kg_triples": oracles.read_kg_triples_sql(rp["kg_final.txt"]),
         "read_cf_adjacency": oracles.read_cf_adjacency_sql(rp["cf_train.txt"]),
         "cf_user_items": oracles.cf_user_items_sql(rp["cf_train.txt"]),
+        "metric_triple_prf": oracles.metric_triple_prf_sql(g("gold_triples")),
         "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
         "read_excel_dict": oracles.read_excel_dict_sql(rp["icd_dict.xlsx"] + ".csv"),
         "kgat_neg_sample": oracles.neg_sample_items_sql(_NEG_ATTEMPTS, _NEG_SEED),

@@ -1299,3 +1299,26 @@ SELECT CAST(u AS BIGINT) AS "user",
        string_agg(CAST(item AS VARCHAR), ',' ORDER BY item) AS items
 FROM adj GROUP BY u
 """
+
+
+def metric_triple_prf_sql(gold_path: str) -> str:
+    """North-rule criterion twin: micro P/R/F1 of the live pipeline's
+    emitted (conv_id, subj, pred, obj) triples against the
+    reference-semantics oracle gold. The oracle side evaluates gold vs
+    gold, so the driver's hash compare certifies the DISTRIBUTED
+    pipeline at exactly P = R = F1 = 1.0 — the >=0.95 contract with
+    margin; any dropped or invented triple breaks the hash."""
+    return f"""
+WITH g AS (SELECT DISTINCT conv_id, subj, pred, obj
+           FROM read_parquet('{gold_path}')),
+ stats AS (SELECT (SELECT count(*) FROM g) AS n),
+ pr AS (SELECT n AS tp, n AS n_pred, n AS n_true,
+               CASE WHEN n > 0 THEN 1.0 ELSE 0.0 END AS precision,
+               CASE WHEN n > 0 THEN 1.0 ELSE 0.0 END AS recall
+        FROM stats)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+FROM pr
+"""
