@@ -561,6 +561,54 @@ def _q_metric_triple_prf(spark, sf_dir):
     return micro_prf_df(pred, gold, on)
 
 
+def _q_sessionize_streaming(spark, sf_dir):
+    """§2.9 custom stateful streaming operator, driver-certified: gap
+    sessionization via applyInPandasWithState (kgp/streaming/stateful.py)
+    over the events table arriving as time-split micro-batches (one file
+    per batch; cross-batch state handoff is exercised for every user). A
+    barrier event per user closes final open sessions, so the converged
+    per-user (n_events, n_sessions) must equal the BATCH lag-window
+    answer — the oracle is the same sessionize SQL events_sessionize
+    certifies against."""
+    import glob
+    import shutil
+    import tempfile
+
+    from kgp.streaming.stateful import BARRIER_EVENT_ID, sessionize_files_available_now
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    mx = ev.agg(F.max(us)).first()[0]
+    barrier = ev.select("user_id").distinct().select(
+        "user_id",
+        F.timestamp_micros(F.lit(mx + 10**9)).cast("timestamp_ntz").alias("ts"),
+        F.lit(BARRIER_EVENT_ID).alias("event_id"),
+    )
+    work = tempfile.mkdtemp(prefix="kgp_sess_stream_")
+    flat = os.path.join(work, "in")
+    os.makedirs(flat)
+    parts = [ev.where(us <= med), ev.where(us > med), barrier]
+    for i, part in enumerate(parts):
+        d = os.path.join(work, f"part{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], dst)
+        # FileStreamSource orders by modification time: make batch order
+        # explicit (same-second writes tie and can reorder the barrier
+        # before the last data file, leaving final sessions unflushed)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    sessionize_files_available_now(
+        spark, flat, os.path.join(work, "out"), os.path.join(work, "ckpt"),
+        gap_minutes=30,
+    )
+    got = spark.read.parquet(os.path.join(work, "out"))
+    return got.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_sessions"),
+    )
+
+
 def _q_dedup_within_group(spark, sf_dir):
     """A13: first row per group under a deterministic order (the
     reference's stateful seen-set, prepare_training_datasets.py:82-100)
@@ -1037,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
         "events_sessionize": _q_sessionize,
+        "events_sessionize_streaming": _q_sessionize_streaming,
         "graph_edge_softmax": _q_edge_softmax,
         "tpch_q1": _q_tpch_q1,
         "top_revenue": _q_top_revenue,
@@ -1152,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": oracles.token_counts_sql(),
         "text_fingerprint": oracles.fingerprint_sql(3),
         "events_sessionize": oracles.sessionize_sql(30),
+        "events_sessionize_streaming": oracles.sessionize_sql(30),
         "graph_edge_softmax": oracles.edge_softmax_sql(),
         "tpch_q1": oracles.tpch_q1_sql(),
         "top_revenue": oracles.top_revenue_sql(20),

@@ -117,3 +117,53 @@ def test_split_conversation_converges_to_batch(spark, tmp_path):
         for r in batch["triples"].collect()
     }
     assert want and got == want
+
+
+def test_stateful_sessionize_cross_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: session boundaries survive the
+    micro-batch handoff (a session spanning two files is ONE session),
+    gaps strictly greater than the threshold split, ties in ts don't,
+    and the barrier closes final open sessions without counting itself."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kgp.streaming.stateful import (
+        BARRIER_EVENT_ID,
+        sessionize_files_available_now,
+    )
+
+    m = 60 * 1_000_000  # one minute in micros
+    mk = lambda us: F.timestamp_micros(F.lit(us)).cast("timestamp_ntz")  # noqa: E731
+    batch1 = [(1, 0 * m, 1), (1, 10 * m, 2), (2, 0 * m, 3)]
+    # user 1's 40m event continues the session started in batch 1 (gap 30m
+    # from 10m -> exactly 30m = NOT a split; strict >)
+    batch2 = [(1, 40 * m, 4), (1, 100 * m, 5), (2, 120 * m, 6)]
+    barrier = [(1, 10**12, BARRIER_EVENT_ID), (2, 10**12, BARRIER_EVENT_ID)]
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    for i, rows in enumerate([batch1, batch2, barrier]):
+        df = spark.createDataFrame(rows, "user_id long, us long, event_id long").select(
+            "user_id", F.timestamp_micros("us").cast("timestamp_ntz").alias("ts"), "event_id"
+        )
+        d = str(tmp_path / f"part{i}")
+        df.coalesce(1).write.parquet(d)
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sessionize_files_available_now(spark, flat, sink, ckpt, gap_minutes=30)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        # user 1: [0, 10, 40] one session (30m gap not > 30m), then [100]
+        (1, 0, 40 * m, 3),
+        (1, 100 * m, 100 * m, 1),
+        # user 2: [0], then [120]
+        (2, 0, 0, 1),
+        (2, 120 * m, 120 * m, 1),
+    }
