@@ -624,7 +624,7 @@ def _q_dedup_within_group(spark, sf_dir):
     )
 
 
-_MARK_MAX_LEN = 16
+_MARK_MAX_LEN = 14  # binds at sf0.01 (46 v2 rows drop) so P4 is exercised on-record
 
 
 def _q_encode_markers(spark, sf_dir):
