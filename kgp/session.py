@@ -22,6 +22,17 @@ def iceberg_available() -> bool:
     return bool(glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*iceberg*")))
 
 
+def _master_cores(master: str) -> int:
+    """Core count implied by a local[N] master (machine cores for local[*]
+    or non-local masters) — the unit the 4-waves split/shuffle rules size
+    against."""
+    if master.startswith("local[") and master.endswith("]"):
+        n = master[6:-1]
+        if n.isdigit():
+            return max(int(n), 1)
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "kgp",
     master: str | None = None,
@@ -54,6 +65,18 @@ def get_spark(
         # them) parallel. On a real cluster the Iceberg layout provides
         # many files and this only affects oversized ones.
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # file splits follow the same 4-waves-per-stage rule as shuffle
+        # partitions: FilePartition sizes splits at
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
+        # and the default minPartitionNum (= defaultParallelism) left the
+        # sf16 scaling fixture at 9 splits on 4 cores = 2.25 task waves —
+        # a ~17% packing tail on the scan-rooted pandas-UDF stages that
+        # dominate the e2e wall (BENCH/BASELINE.md sf16 decomposition).
+        # openCostInBytes drops to 64k for the same reason as the AQE
+        # minPartitionSize above: the hot stages are CPU-bound per ROW,
+        # so byte-based floors under-parallelize them.
+        .config("spark.sql.files.minPartitionNum", str(4 * _master_cores(master)))
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # larger Arrow batches amortize the per-batch Python round trip in
         # the pandas-UDF stages (measured ~12% e2e at sf4); turn rows are
