@@ -36,7 +36,9 @@ def main(path: str) -> None:
     stages = {}  # (stageId, attempt) -> [submit, complete]
     task_ms = 0.0
     cpu_ns = 0.0
+    gc_ms = 0.0
     task_counts: dict[int, int] = {}
+    stage_task_ms: dict[int, float] = {}  # per-stage task wall (run time)
     job_window = [None, None]
     app_window = [None, None]
     def lines():
@@ -93,8 +95,12 @@ def main(path: str) -> None:
                 task_ms += (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) or 0
                 tm = e.get("Task Metrics") or {}
                 cpu_ns += tm.get("Executor CPU Time", 0) or 0
+                gc_ms += tm.get("JVM GC Time", 0) or 0
                 sid = e.get("Stage ID")
                 task_counts[sid] = task_counts.get(sid, 0) + 1
+                stage_task_ms[sid] = stage_task_ms.get(sid, 0.0) + (
+                    tm.get("Executor Run Time", 0) or 0
+                )
 
     if not stages or job_window[0] is None:
         print("no stages/jobs in log")
@@ -119,10 +125,30 @@ def main(path: str) -> None:
     print(f"wall (first submit -> last job end): {wall:.1f} s")
     print(f"stage-covered time: {covered:.1f} s   driver-only gaps: {wall - covered:.1f} s")
     print(f"sum task time: {task_ms / 1000.0:.1f} core-s   executor CPU in tasks: {cpu_ns / 1e9:.1f} core-s")
+    print(f"GC inside tasks: {gc_ms / 1000.0:.1f} s ({gc_ms / max(task_ms, 1) * 100:.1f}% of task wall)")
     small = sorted(task_counts.items())
     print(f"stages: {len(task_counts)}   tasks: {sum(task_counts.values())}")
     ones = [sid for sid, n in small if n == 1]
     print(f"single-task stages: {len(ones)} {ones[:20]}")
+    # Packing: per stage, task-wall core-seconds / (cores x stage window).
+    # <1 means scheduled cores sat idle inside the stage's own window —
+    # the task-count-granularity tail (e.g. 9 tasks on 4 cores = 2.25
+    # waves) that found the round-4 sf16 split-sizing fix. Needs the core
+    # count the leg was pinned to; pass it as argv[2].
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if cores:
+        print(f"packing (task-wall / {cores} cores x stage window), heaviest stages:")
+        heavy = sorted(stage_task_ms.items(), key=lambda kv: -kv[1])[:8]
+        for sid, tw in heavy:
+            iv = stages.get((sid, 0))
+            if not iv:
+                continue
+            el = (iv[1] - iv[0]) / 1000.0
+            pk = tw / 1000.0 / (cores * el) if el > 0 else float("nan")
+            print(
+                f"  stage {sid:4d}: taskwall {tw / 1e3:7.1f} s  window {el:7.1f} s"
+                f"  tasks {task_counts.get(sid, 0):4d}  packing {pk:.2f}"
+            )
 
 
 if __name__ == "__main__":
