@@ -127,6 +127,17 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     raise RuntimeError(f"leg cpus={cpus} failed {attempts} attempts: {last_err}")
 
 
+def _git_sha() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     # scaling runs on a bigger synthetic fixture (~2M turns incl. the
     # 10^4-turn skew conversation): at sf0.1 the job is overhead-dominated
@@ -143,7 +154,10 @@ def main():
             r = run_once(c, sf_dir)
             runs.append({"cpus": c, "e2e_sec": r["queries"]["kg_pipeline_e2e"],
                          "loadavg": r["loadavg_at_start"],
-                         "steal_pct": r.get("steal_pct", 0.0)})
+                         "steal_pct": r.get("steal_pct", 0.0),
+                         # legs from different code/config versions must
+                         # not pair (the consolidator groups on this)
+                         "code": _git_sha()})
             print(json.dumps(runs[-1]), flush=True)  # leg-by-leg progress
             cur = best.get(c)
             if cur is None or r["queries"]["kg_pipeline_e2e"] < cur["queries"]["kg_pipeline_e2e"]:

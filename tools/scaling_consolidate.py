@@ -69,13 +69,17 @@ def main(paths: list[str]) -> None:
         # normalize 'fixtures/sf4' vs '/root/repo/fixtures/sf4'
         return os.path.basename((r.get("sf") or "sf?").rstrip("/"))
 
-    def best(rows):
-        return min((r["e2e_sec"] for r in rows), default=None)
+    def code(r):
+        # legs measured under different code/config versions are not
+        # comparable (e.g. the round-4 split-sizing rule changed the
+        # 4-core plan but not the 1-core one): group by the git SHA the
+        # leg recorded; pre-tagging legs pool under "legacy"
+        return r.get("code", "legacy")
 
     print(f"pool: {len(pool)} legs (calm = steal <= {STEAL_CALM}%)")
-    for fx in sorted({fixture(r) for r in pool}):
-        fpool = [r for r in pool if fixture(r) == fx]
-        report_fixture(fx, fpool)
+    for fx, cd in sorted({(fixture(r), code(r)) for r in pool}):
+        fpool = [r for r in pool if fixture(r) == fx and code(r) == cd]
+        report_fixture(f"{fx} @ {cd}", fpool)
 
 
 def report_fixture(fx: str, pool: list[dict]) -> None:
