@@ -28,6 +28,26 @@ from kgp.stages.relations import classify_relations
 from kgp.stages.triples import assemble_triples
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint of a multi-consumer stage boundary.
+
+    KGP_CKPT_SER=1 stores the checkpoint blocks SERIALIZED
+    (StorageLevel.MEMORY_AND_DISK with deserialized=false — compact
+    UnsafeRow bytes instead of row objects): the big boundaries (the
+    tagged corpus at sf16 is the driver-heap finding in SCALING.md)
+    shrink their block-manager residency, trading a copy on each consumer
+    read for less GC scan work and less memory-bandwidth pressure on a
+    shared socket. Default remains the JVM's deserialized level pending
+    the measured A/B (BENCH/BASELINE.md round 4)."""
+    import os
+
+    if os.environ.get("KGP_CKPT_SER") == "1":
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint()
+
+
 def _run_concurrently(spark: SparkSession, *thunks) -> list:
     """Run several independent build-and-materialize thunks, each from its
     own driver thread so their Spark jobs interleave under the FAIR
@@ -97,7 +117,7 @@ def run_pipeline(
     # per consumer (observed in the event log as a second full
     # Scan>MapInPandas under a BroadcastExchange), so the one serial job
     # here buys single-execution of the most expensive stage.
-    tagged = tag_turns(spark, transcripts, model.surfaces, cfg).localCheckpoint()
+    tagged = _ckpt(tag_turns(spark, transcripts, model.surfaces, cfg))
     mentions = mentions_from_tagged(tagged)
     turn_tokens = pair_turn_tokens(tagged)
 
@@ -111,11 +131,11 @@ def run_pipeline(
     # Both subtrees read only the already-materialized `tagged`, so no
     # producer can be re-run.
     def _relations_branch():
-        return classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg).localCheckpoint()
+        return _ckpt(classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg))
 
     def _coref_branch():
         scored = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-        return cluster_unionfind(mentions, positive_edges(scored, cfg), cfg).localCheckpoint()
+        return _ckpt(cluster_unionfind(mentions, positive_edges(scored, cfg), cfg))
 
     def _alias_branch():
         # linking's dictionary side depends on the alias dim ALONE: build
@@ -133,7 +153,7 @@ def run_pipeline(
     links, candidates = link_clusters(
         cluster_surfaces(clusters, mentions), model.alias_dict, cfg, artifacts=alias_art
     )
-    triples = assemble_triples(relations, clusters, links).localCheckpoint()
+    triples = _ckpt(assemble_triples(relations, clusters, links))
     edges, entity_dict, relation_dict = materialize_graph(triples)
     return {
         "documents": documents,
