@@ -499,6 +499,82 @@ def _q_kgat_aggregate(spark, sf_dir):
     return out.select("h", "j", F.round("e_out", 6).alias("e_out"))
 
 
+_CF_EMB_DIMS = (8, 6, 4)
+
+
+def _q_kgat_cf_embedding(spark, sf_dir):
+    """The reference's FULL cf_embedding (KGAT-pytorch/model/KGAT.py:164-176,
+    Equation 11): attention + softmax (F7/A10), then a STACK of
+    bi-interaction aggregation layers (8 -> 6 -> 4, the reference's halving
+    conv_dim_list shape), each L2-normalized, concatenated with the ego
+    embedding into long-form (h, k, val). Layer k+1 consumes layer k as a
+    DataFrame (shuffle equi-joins, no driver collect) — the shape that
+    holds when the embedding table itself is big data."""
+    import numpy as np
+
+    from kgp.fixtures import attention_fixture, cf_layer_fixture
+    from kgp.stages.graph import edge_softmax, kgat_attention, kgat_cf_embedding
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
+    ).distinct()
+    scored = edge_softmax(kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w)))
+    out = kgat_cf_embedding(spark, scored, ent, cf_layer_fixture(_CF_EMB_DIMS))
+    return out.select("h", "k", F.round("val", 6).alias("val"))
+
+
+_TRANSR_LAMBDA = 1e-5
+
+
+def _transr_scored(spark, sf_dir):
+    """Deterministic (h, r, pos_t, neg_t) batch from lineitem -> per-row
+    TransR scores (KGAT.py:132-156)."""
+    from kgp.fixtures import attention_fixture
+    from kgp.functions.losses import transr_scores
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    li = _t(spark, sf_dir, "lineitem")
+    batch = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("pos_t"),
+        ((F.col("l_partkey") + 13 * F.col("l_suppkey") + 7) % _ATT_N_ENT)
+        .cast("long")
+        .alias("neg_t"),
+    ).distinct()
+    return transr_scores(spark, batch, ent, rel, w)
+
+
+def _q_transr_scores(spark, sf_dir):
+    """Per-triple TransR plausibility (KGAT-pytorch/model/KGAT.py:132-156,
+    Equation 1): ||W_r e_h + e_r - W_r e_t||^2 for pos and neg tails over
+    a deterministic lineitem-derived batch — one batched pandas UDF with
+    the embedding tensors broadcast."""
+    out = _transr_scored(spark, sf_dir)
+    return out.select(
+        "h",
+        F.col("r").cast("long").alias("r"),
+        "pos_t",
+        "neg_t",
+        F.round("pos_score", 6).alias("pos_score"),
+        F.round("neg_score", 6).alias("neg_score"),
+        F.round("l2_row", 6).alias("l2_row"),
+    )
+
+
+def _q_loss_kg_transr(spark, sf_dir):
+    """The reference's calc_kg_loss (KGAT-pytorch/model/KGAT.py:152-161,
+    Equation 2): mean(-logsigmoid(neg - pos)) + lambda * L2 over the
+    TransR score table (stable softplus form, like loss_bpr)."""
+    from kgp.functions.losses import transr_kg_loss
+
+    return transr_kg_loss(_transr_scored(spark, sf_dir), l2_lambda=_TRANSR_LAMBDA)
+
+
 # ---------------------------------------------------------------------------
 # S8 Excel dict / J9 negative sampling / W5 early stopping / F8 losses
 # ---------------------------------------------------------------------------
@@ -1048,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kgat_edges": _q_kgat_edges,
         "kgat_attention": _q_kgat_attention,
         "kgat_aggregate": _q_kgat_aggregate,
+        "kgat_cf_embedding": _q_kgat_cf_embedding,
+        "kgat_transr_scores": _q_transr_scores,
+        "loss_kg_transr": _q_loss_kg_transr,
         # reference-format readers (S1-S7)
         "read_semeval": _q_read_semeval,
         "read_mrc": _q_read_mrc,
@@ -1122,6 +1201,21 @@ def _kgat_aggregate_oracle() -> str:
     return oracles.kgat_aggregate_sql(ent, rel, w, w1, w2, _ATT_N_ENT, _ATT_N_REL)
 
 
+def _kgat_cf_embedding_oracle() -> str:
+    from kgp.fixtures import attention_fixture, cf_layer_fixture
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    return oracles.kgat_cf_embedding_sql(
+        ent, rel, w, cf_layer_fixture(_CF_EMB_DIMS), _ATT_N_ENT, _ATT_N_REL
+    )
+
+
+def _transr_fixture():
+    from kgp.fixtures import attention_fixture
+
+    return attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = ensure_fixtures(SF01)
     rp = _reader_paths()
@@ -1163,6 +1257,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_kgat_edges": oracles.kgat_edges_sql(),
         "kgat_attention": _kgat_attention_oracle(),
         "kgat_aggregate": _kgat_aggregate_oracle(),
+        "kgat_cf_embedding": _kgat_cf_embedding_oracle(),
+        "kgat_transr_scores": oracles.transr_scores_sql(
+            *_transr_fixture(), _ATT_N_ENT, _ATT_N_REL
+        ),
+        "loss_kg_transr": oracles.transr_kg_loss_sql(
+            *_transr_fixture(), _ATT_N_ENT, _ATT_N_REL, _TRANSR_LAMBDA
+        ),
         "read_semeval": oracles.read_semeval_sql(rp["semeval.jsonl"]),
         "read_mrc": oracles.read_mrc_sql(rp["mrc_ner.json"]),
         "read_ccks": oracles.read_ccks_sql(rp["ccks_ner.json"]),

@@ -338,6 +338,29 @@ def aggregate_fixture(d: int = 8, d_out: int = 6):
     return w1, w2
 
 
+def cf_layer_fixture(dims=(8, 6, 4)):
+    """Deterministic per-layer bi-interaction weights for the stacked
+    cf_embedding certification (KGAT-pytorch/model/KGAT.py:88-99
+    ``conv_dim_list`` — the reference's default [64, 32, 16] halves per
+    layer; this scales that shape down to the fixture dims). Layer k maps
+    dims[k] -> dims[k+1]; a per-layer salt keeps the matrices distinct
+    under the same small-rational scheme as :func:`aggregate_fixture`.
+    -> list of (W1, W2) pairs, one per layer."""
+    layers = []
+    for k in range(len(dims) - 1):
+        d_in, d_out, s = dims[k], dims[k + 1], 7 * k
+        w1 = [
+            [((i * 19 + j * 23 + s) % 61 - 30) / 30 for j in range(d_out)]
+            for i in range(d_in)
+        ]
+        w2 = [
+            [((i * 37 + j * 41 + s) % 67 - 33) / 33 for j in range(d_out)]
+            for i in range(d_in)
+        ]
+        layers.append((w1, w2))
+    return layers
+
+
 def sanity_check_vocab(entities: list[Entity]) -> None:
     """Invariant: filler/trigger/gazetteer token sets are disjoint and every
     surface round-trips through the tokenizer unchanged."""

@@ -22,11 +22,22 @@ table, which is what a Spark-side evaluation/monitoring pass needs):
   (CRF/modeling_bert.py:85-94; torchcrf forward semantics), batched in
   one vectorized pandas pass per Arrow batch.
 
-The first three are pure built-in column expressions (higher-order array
-functions; JVM-side, whole-stage codegen) and carry exact DuckDB SQL
-twins in kgp/oracles.py. ``crf_nll`` needs a log-sum-exp recursion over
-the time axis, which SQL cannot express without recursion — it is
-certified by tests against a brute-force path enumeration.
+- :func:`transr_scores` / :func:`transr_kg_loss` — the reference's KG
+  embedding loss (KGAT-pytorch/model/KGAT.py:132-162 ``calc_kg_loss``,
+  Equations 1-2): per-triple TransR plausibility
+  ``||W_r e_h + e_r - W_r e_t||^2`` for a (h, r, pos_t, neg_t) batch, then
+  ``mean(-logsigmoid(neg - pos)) + lambda * L2`` with
+  ``_L2_loss_mean(x) = mean(sum(x^2)/2)`` (KGAT.py:9-10).
+
+The pure-scalar losses are built-in column expressions (JVM-side,
+whole-stage codegen); ``transr_scores`` projects through the relation
+matrices in ONE batched pandas UDF with the embedding tensors broadcast
+(the same shape as ``kgat_attention``, whose 9-dp DuckDB parity already
+certifies numpy<->DuckDB transcendental agreement on this host). All
+carry DuckDB SQL twins in kgp/oracles.py; ``crf_nll``'s log-sum-exp
+recursion over the time axis is twinned as a DuckDB RECURSIVE CTE
+(kgp/oracles.py:crf_nll_sql) and additionally brute-force path-enumerated
+in tests.
 """
 
 from __future__ import annotations
@@ -196,3 +207,94 @@ def crf_nll(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TransR KG loss (KGAT-pytorch/model/KGAT.py:132-162, Equations 1-2)
+# ---------------------------------------------------------------------------
+
+
+def transr_scores(
+    spark, batch: DataFrame, ent_emb, rel_emb, rel_w
+) -> DataFrame:
+    """Per-triple TransR plausibility scores for a (h, r, pos_t, neg_t)
+    batch (KGAT-pytorch/model/KGAT.py:132-156):
+
+        r_mul_x   = W_r e_x          (projection onto relation r's plane)
+        pos_score = || r_mul_h + e_r - r_mul_pos_t ||^2   (Equation 1)
+        neg_score = || r_mul_h + e_r - r_mul_neg_t ||^2
+        l2_row    = (|r_mul_h|^2 + |e_r|^2 + |r_mul_pos|^2 + |r_mul_neg|^2)/2
+
+    One batched pandas UDF over the batch table with the embedding
+    tensors broadcast once per executor (same dataflow as
+    ``kgp.stages.graph.kgat_attention``); everything downstream of the
+    projections is built-in column math. ent_emb: (n_ent, d); rel_emb:
+    (n_rel, d_r); rel_w: (n_rel, d_r, d) — the row convention the
+    attention op certifies (``r_mul_x[i] = sum_j W_r[i][j] x[j]``).
+    """
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(ent_emb), np.asarray(rel_emb), np.asarray(rel_w))
+    )
+
+    @F.pandas_udf("pos_score double, neg_score double, l2_row double")
+    def sc(h, r, pos_t, neg_t):
+        E, R, W = bc.value
+        hv = E[h.to_numpy()]
+        pv = E[pos_t.to_numpy()]
+        nv = E[neg_t.to_numpy()]
+        ri = r.to_numpy()
+        Wr = W[ri]  # (B, d_r, d)
+        re = R[ri]  # (B, d_r)
+        mh = np.einsum("bij,bj->bi", Wr, hv)
+        mp = np.einsum("bij,bj->bi", Wr, pv)
+        mn = np.einsum("bij,bj->bi", Wr, nv)
+        pos = ((mh + re - mp) ** 2).sum(axis=1)
+        neg = ((mh + re - mn) ** 2).sum(axis=1)
+        l2 = (
+            (mh**2).sum(axis=1)
+            + (re**2).sum(axis=1)
+            + (mp**2).sum(axis=1)
+            + (mn**2).sum(axis=1)
+        ) / 2.0
+        return pd.DataFrame({"pos_score": pos, "neg_score": neg, "l2_row": l2})
+
+    s = sc("h", "r", "pos_t", "neg_t")
+    return batch.select(
+        "h", "r", "pos_t", "neg_t",
+        s["pos_score"].alias("pos_score"),
+        s["neg_score"].alias("neg_score"),
+        s["l2_row"].alias("l2_row"),
+    )
+
+
+def transr_kg_loss(scored: DataFrame, l2_lambda: float = 1e-5) -> DataFrame:
+    """-> 1 row (n, kg_loss, l2_loss, loss) from a :func:`transr_scores`
+    table (KGAT-pytorch/model/KGAT.py:152-161, Equation 2):
+
+        kg_loss = mean(-logsigmoid(neg_score - pos_score))
+                = mean(softplus(pos_score - neg_score))
+        l2_loss = mean(l2_row)        (the four _L2_loss_mean terms folded
+                                       into one per-row sum; KGAT.py:9-10)
+        loss    = kg_loss + l2_lambda * l2_loss
+
+    Softplus in the max-shifted stable form (``max(d,0)+log1p(exp(-|d|))``)
+    — identical to :func:`bpr_loss` and its certified SQL twin.
+    """
+    d = F.col("pos_score") - F.col("neg_score")
+    row = F.greatest(d, F.lit(0.0)) + F.log1p(F.exp(-F.abs(d)))
+    return (
+        scored.select(row.alias("_l"), "l2_row")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_l").alias("_kg"),
+            F.avg("l2_row").alias("_l2"),
+        )
+        .select(
+            "n",
+            F.round("_kg", 6).alias("kg_loss"),
+            F.round("_l2", 6).alias("l2_loss"),
+            F.round(F.col("_kg") + F.lit(l2_lambda) * F.col("_l2"), 6).alias("loss"),
+        )
+    )

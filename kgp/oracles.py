@@ -681,6 +681,190 @@ FROM lin
 """
 
 
+def _att_expr(d: int, dr: int) -> str:
+    """The shared per-edge attention-score expression (same text the
+    attention/aggregate twins inline): tanh(W_r e_h + e_r) . (W_r e_t)."""
+    wh = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * eh[j]), 'sum')"
+    )
+    wt = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        "j -> wr[i][j] * et[j]), 'sum')"
+    )
+    tanh_arg = f"({wh} + er[i])"
+    tanh = f"((exp(2 * {tanh_arg}) - 1) / (exp(2 * {tanh_arg}) + 1))"
+    return (
+        f"list_aggregate(list_transform(range(1, {dr} + 1), "
+        f"i -> {tanh} * {wt}), 'sum')"
+    )
+
+
+def kgat_cf_embedding_sql(
+    ent_emb, rel_emb, rel_w, layers, n_ent: int, n_rel: int, alpha: float = 0.2
+) -> str:
+    """Twin of kgp.stages.graph.kgat_cf_embedding (KGAT-pytorch/model/
+    KGAT.py:164-176 ``cf_embedding``, Equation 11): the attention +
+    edge-softmax CTEs feed a CHAIN of bi-interaction layer CTE blocks —
+    each block is the kgat_aggregate twin re-rooted at the previous
+    layer's long-form embedding, followed by a per-node L2 normalize —
+    and the final SELECT unions ego + every normalized layer with global
+    concat offsets. Long-form (h, k, val), rounded to 6 dp (two layers of
+    grouped double sums; same jitter budget as the aggregate twin)."""
+    d0 = len(ent_emb[0])
+    dr = len(rel_emb[0])
+    score = _att_expr(d0, dr)
+
+    def leaky(c: str) -> str:
+        return f"(CASE WHEN {c} > 0 THEN {c} ELSE {alpha!r} * {c} END)"
+
+    ctes = [
+        f"""ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
+  {_matrix_values(ent_emb)}) v(col0, col1)),
+ rel AS (SELECT col0 AS id, col1 AS er FROM (VALUES
+  {_matrix_values(rel_emb)}) v(col0, col1)),
+ w AS (SELECT col0 AS id, col1 AS wr FROM (VALUES
+  {_tensor_values(rel_w)}) v(col0, col1)),
+ edges AS (SELECT DISTINCT l_suppkey % {n_ent} AS h, l_linenumber % {n_rel} AS r,
+                  l_partkey % {n_ent} AS t FROM lineitem),
+ scored AS (SELECT edges.h, edges.r, edges.t,
+                   {score} AS score
+            FROM edges
+            JOIN ent eh_t ON eh_t.id = edges.h
+            JOIN ent et_t ON et_t.id = edges.t
+            JOIN rel ON rel.id = edges.r
+            JOIN w ON w.id = edges.r,
+            LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
+ z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t),
+ att AS (SELECT s.h, s.t, exp(s.score) / z.z AS att
+         FROM scored s JOIN z ON s.t = z.t),
+ emb0 AS (SELECT id AS h, unnest(generate_series(1, {d0})) AS i,
+                 unnest(e) AS val
+          FROM ent)"""
+    ]
+    parts = [f"SELECT CAST(h AS BIGINT) AS h, CAST(i - 1 AS BIGINT) AS k, round(val, 6) AS val FROM emb0"]
+    offset = d0
+    for k, (w1, w2) in enumerate(layers, start=1):
+        d_in, d_out = len(w1), len(w1[0])
+        w_values = ",\n  ".join(
+            f"({i + 1}, {j + 1}, {float(w1[i][j])!r}, {float(w2[i][j])!r})"
+            for i in range(d_in)
+            for j in range(d_out)
+        )
+        prev = f"emb{k - 1}"
+        ctes.append(
+            f"""w12_{k}(i, j, w1, w2) AS (VALUES
+  {w_values}),
+ msg{k} AS (SELECT a.h, e.i, sum(e.val * a.att) AS n_val
+            FROM att a JOIN {prev} e ON e.h = a.t
+            GROUP BY a.h, e.i),
+ comb{k} AS (SELECT b.h, b.i,
+                    b.val + coalesce(m.n_val, 0.0) AS s,
+                    b.val * coalesce(m.n_val, 0.0) AS p
+             FROM {prev} b LEFT JOIN msg{k} m ON m.h = b.h AND m.i = b.i),
+ lin{k} AS (SELECT c.h, ww.j, sum(c.s * ww.w1) AS z1, sum(c.p * ww.w2) AS z2
+            FROM comb{k} c JOIN w12_{k} ww ON ww.i = c.i
+            GROUP BY c.h, ww.j),
+ out{k} AS (SELECT h, j, {leaky('z1')} + {leaky('z2')} AS val FROM lin{k}),
+ nrm{k} AS (SELECT h, greatest(sqrt(sum(val * val)), 1e-12) AS nrm
+            FROM out{k} GROUP BY h),
+ emb{k} AS (SELECT o.h, o.j AS i, o.val / n.nrm AS val
+            FROM out{k} o JOIN nrm{k} n ON n.h = o.h)"""
+        )
+        parts.append(
+            f"SELECT CAST(h AS BIGINT) AS h, CAST(i - 1 + {offset} AS BIGINT) AS k, "
+            f"round(val, 6) AS val FROM emb{k}"
+        )
+        offset += d_out
+    return "WITH " + ",\n ".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def _transr_ctes(ent_emb, rel_emb, rel_w, n_ent: int, n_rel: int) -> str:
+    """Shared CTE chain for the TransR twins: the deterministic
+    (h, r, pos_t, neg_t) lineitem batch -> per-row projections
+    (KGAT.py:146-150) -> per-row pos/neg scores + L2 row (Equation 1)."""
+    d = len(ent_emb[0])
+    dr = len(rel_emb[0])
+
+    def mul(vec: str) -> str:
+        return (
+            f"list_transform(range(1, {dr} + 1), "
+            f"i -> list_aggregate(list_transform(range(1, {d} + 1), "
+            f"j -> wr[i][j] * {vec}[j]), 'sum'))"
+        )
+
+    def sumsq(col: str) -> str:
+        return f"list_aggregate(list_transform({col}, x -> x * x), 'sum')"
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dr} + 1), "
+            f"i -> ({a}[i] + er[i] - {b}[i]) * ({a}[i] + er[i] - {b}[i])), 'sum')"
+        )
+
+    return f"""ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
+  {_matrix_values(ent_emb)}) v(col0, col1)),
+ rel AS (SELECT col0 AS id, col1 AS er FROM (VALUES
+  {_matrix_values(rel_emb)}) v(col0, col1)),
+ w AS (SELECT col0 AS id, col1 AS wr FROM (VALUES
+  {_tensor_values(rel_w)}) v(col0, col1)),
+ batch AS (SELECT DISTINCT l_suppkey % {n_ent} AS h,
+                  l_linenumber % {n_rel} AS r,
+                  l_partkey % {n_ent} AS pos_t,
+                  (l_partkey + 13 * l_suppkey + 7) % {n_ent} AS neg_t
+           FROM lineitem),
+ proj AS (SELECT b.h, b.r, b.pos_t, b.neg_t, rel.er,
+                 {mul('eh')} AS mh, {mul('ep_e')} AS mp, {mul('en_e')} AS mn
+          FROM batch b
+          JOIN ent eh_t ON eh_t.id = b.h
+          JOIN ent ep_t ON ep_t.id = b.pos_t
+          JOIN ent en_t ON en_t.id = b.neg_t
+          JOIN rel ON rel.id = b.r
+          JOIN w ON w.id = b.r,
+          LATERAL (SELECT eh_t.e AS eh, ep_t.e AS ep_e, en_t.e AS en_e) _x),
+ vals AS (SELECT h, r, pos_t, neg_t,
+                 {dist('mh', 'mp')} AS pos_score,
+                 {dist('mh', 'mn')} AS neg_score,
+                 ({sumsq('mh')} + {sumsq('er')} + {sumsq('mp')} + {sumsq('mn')}) / 2
+                   AS l2_row
+          FROM proj)"""
+
+
+def transr_scores_sql(ent_emb, rel_emb, rel_w, n_ent: int, n_rel: int) -> str:
+    """Per-row twin of kgp.functions.losses.transr_scores over the
+    deterministic lineitem batch (KGAT.py:132-156, Equation 1).
+    6 dp: scores are sums of O(d^2)-magnitude squares, so the einsum
+    pairwise-vs-in-order jitter budget is looser than the attention
+    twin's 9 dp."""
+    ctes = _transr_ctes(ent_emb, rel_emb, rel_w, n_ent, n_rel)
+    return f"""
+WITH {ctes}
+SELECT CAST(h AS BIGINT) AS h, CAST(r AS BIGINT) AS r,
+       CAST(pos_t AS BIGINT) AS pos_t, CAST(neg_t AS BIGINT) AS neg_t,
+       round(pos_score, 6) AS pos_score, round(neg_score, 6) AS neg_score,
+       round(l2_row, 6) AS l2_row
+FROM vals
+"""
+
+
+def transr_kg_loss_sql(
+    ent_emb, rel_emb, rel_w, n_ent: int, n_rel: int, l2_lambda: float
+) -> str:
+    """Twin of kgp.functions.losses.transr_kg_loss (KGAT.py:152-161,
+    Equation 2) over the same deterministic batch: softplus in the same
+    max-shifted form as the certified BPR twin."""
+    ctes = _transr_ctes(ent_emb, rel_emb, rel_w, n_ent, n_rel)
+    return f"""
+WITH {ctes},
+ t AS (SELECT pos_score - neg_score AS dd, l2_row FROM vals)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(greatest(dd, 0) + ln(1 + exp(-abs(dd)))), 6) AS kg_loss,
+       round(avg(l2_row), 6) AS l2_loss,
+       round(avg(greatest(dd, 0) + ln(1 + exp(-abs(dd)))) + {l2_lambda!r} * avg(l2_row), 6) AS loss
+FROM t
+"""
+
+
 def el_threshold_sweep_sql(candidates_path: str, links_path: str, thetas) -> str:
     """Mirrors kgp.stages.linking.threshold_sweep over the materialized
     gold candidate/link tables (the Spark side sweeps the live pipeline's

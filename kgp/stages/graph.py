@@ -291,3 +291,122 @@ def kgat_aggregate(
         F.col("j").cast("long").alias("j"),
         (leaky(F.col("z1")) + leaky(F.col("z2"))).alias("e_out"),
     )
+
+
+def _aggregate_long(
+    emb_long: DataFrame,
+    edges_att: DataFrame,
+    w_df: DataFrame,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """One bi-interaction round over LONG-FORM embeddings ``(id, i, val)``
+    — the stacked-layer building block of :func:`kgat_cf_embedding`.
+
+    Unlike :func:`kgat_aggregate` (which broadcasts a driver-side
+    embedding list, fine for one round over fixture-sized matrices), this
+    takes the embedding as a DataFrame and equi-joins it, so layer k+1
+    consumes layer k's output without ever collecting it: at billions of
+    entities the embedding table is itself big data, and the only
+    operations here are uniform-key shuffles (join on t, groupBy (h, i) /
+    (h, j)) plus one broadcast of the tiny d_in x d_out weight table.
+
+        e_N(h)[i] = sum over out-edges (h -att-> t) of att * e_t[i]
+        e_out(h)[j] = leaky(sum_i (e_h+e_N)[i] W1[i][j])
+                    + leaky(sum_i (e_h*e_N)[i] W2[i][j])
+    """
+    msgs = (
+        edges_att.select("h", "t", "att")
+        .join(emb_long, edges_att["t"] == emb_long["id"])
+        .groupBy("h", "i")
+        .agg(F.sum(F.col("val") * F.col("att")).alias("n_val"))
+    )
+    base = emb_long.select(F.col("id").alias("h"), "i", F.col("val").alias("e_h"))
+    combined = (
+        base.join(msgs, ["h", "i"], "left")
+        .withColumn("e_n", F.coalesce("n_val", F.lit(0.0)))
+        .select(
+            "h",
+            "i",
+            (F.col("e_h") + F.col("e_n")).alias("s"),
+            (F.col("e_h") * F.col("e_n")).alias("p"),
+        )
+    )
+    lin = (
+        combined.join(F.broadcast(w_df), "i")
+        .groupBy("h", "j")
+        .agg(
+            F.sum(F.col("s") * F.col("w1")).alias("z1"),
+            F.sum(F.col("p") * F.col("w2")).alias("z2"),
+        )
+    )
+
+    def leaky(c):
+        return F.when(c > 0, c).otherwise(alpha * c)
+
+    return lin.select(
+        "h", "j", (leaky(F.col("z1")) + leaky(F.col("z2"))).alias("e_out")
+    )
+
+
+def kgat_cf_embedding(
+    spark,
+    edges_att: DataFrame,
+    ent_emb,
+    layers,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """The reference's full ``cf_embedding`` (KGAT-pytorch/model/
+    KGAT.py:164-176, Equation 11): stack the bi-interaction aggregator
+    over the softmaxed edge table, L2-normalizing each layer's output,
+    and CONCAT ego + every layer:
+
+        all_embed = cat([e, norm(layer_1(e)), norm(layer_2(...)), ...])
+
+    ``layers`` is a list of (W1, W2) pairs (layer k maps d_k -> d_{k+1},
+    the reference's ``conv_dim_list`` ladder). Returns long form
+    ``(h, k, val)`` where k is the global concat position — the relational
+    twin of ``torch.cat(all_embed, dim=1)`` — rows ordered only by key.
+
+    Each layer's output feeds three consumers (messages, base, final
+    concat); it is pinned with an eager localCheckpoint so the lineage
+    does not re-execute the previous layers exponentially. On a cluster
+    the same reuse points become lineage stage tables
+    (kgp/stages/runner.py), exactly like the dedup ops' resumable path.
+    L2 normalization (torch.functional.normalize eps=1e-12) is a per-h
+    aggregate + an equi-join back — no windows, no driver round-trip.
+    """
+    emb_rows = [
+        (i, j, float(x)) for i, row in enumerate(ent_emb) for j, x in enumerate(row)
+    ]
+    ego = spark.createDataFrame(emb_rows, "id long, i int, val double")
+    parts = [ego.select("id", F.col("i").cast("long").alias("k"), "val")]
+    offset = len(ent_emb[0])
+    cur = ego
+    for w1, w2 in layers:
+        w_rows = [
+            (i, j, float(w1[i][j]), float(w2[i][j]))
+            for i in range(len(w1))
+            for j in range(len(w1[0]))
+        ]
+        w_df = spark.createDataFrame(w_rows, "i int, j int, w1 double, w2 double")
+        out = _aggregate_long(cur, edges_att, w_df, alpha=alpha)
+        nrm = out.groupBy("h").agg(
+            F.greatest(F.sqrt(F.sum(F.col("e_out") * F.col("e_out"))), F.lit(1e-12)).alias("nrm")
+        )
+        cur = (
+            out.join(nrm, "h")
+            .select(
+                F.col("h").alias("id"),
+                F.col("j").cast("int").alias("i"),
+                (F.col("e_out") / F.col("nrm")).alias("val"),
+            )
+            .localCheckpoint()
+        )
+        parts.append(
+            cur.select("id", (F.col("i") + F.lit(offset)).cast("long").alias("k"), "val")
+        )
+        offset += len(w1[0])
+    all_embed = parts[0]
+    for p in parts[1:]:
+        all_embed = all_embed.unionByName(p)
+    return all_embed.select(F.col("id").alias("h"), "k", "val")

@@ -147,3 +147,73 @@ def test_subtoken_label_roundtrip_all_schemes():
         back = collapse_subtoken_labels(sub, n_pieces, scheme)
         assert back == word_labels
         assert bio_decode(back) == spans
+
+
+def test_kgat_cf_embedding_matches_numpy(spark):
+    """Stacked cf_embedding (KGAT-pytorch/model/KGAT.py:164-176, Eq 11):
+    dense numpy message passing (att-weighted neighbor sum -> bi-interaction
+    -> L2 normalize -> concat with ego) vs the relational long-form op."""
+    from kgp.stages.graph import kgat_cf_embedding
+
+    rng = np.random.default_rng(11)
+    n, d = 6, 4
+    dims = [d, 3, 2]
+    E = rng.normal(size=(n, d))
+    layers = [
+        (rng.normal(size=(dims[k], dims[k + 1])), rng.normal(size=(dims[k], dims[k + 1])))
+        for k in range(2)
+    ]
+    raw_edges = [(0, 1, 0.6), (0, 2, 0.4), (2, 1, 1.0), (4, 5, 1.0), (5, 4, 0.3), (5, 0, 0.7)]
+    edges = spark.createDataFrame(raw_edges, "h long, t long, att double")
+
+    def leaky(x):
+        return np.where(x > 0, x, 0.2 * x)
+
+    cur = E
+    want_parts = [E]
+    for w1, w2 in layers:
+        msgs = np.zeros_like(cur)
+        for h, t, att in raw_edges:
+            msgs[h] += att * cur[t]
+        out = leaky((cur + msgs) @ w1) + leaky((cur * msgs) @ w2)
+        nrm = np.maximum(np.sqrt((out**2).sum(axis=1)), 1e-12)
+        cur = out / nrm[:, None]
+        want_parts.append(cur)
+    want = np.concatenate(want_parts, axis=1)
+
+    got = kgat_cf_embedding(spark, edges, E, layers).collect()
+    assert len(got) == n * want.shape[1]
+    for row in got:
+        assert row["val"] == pytest.approx(want[row["h"], row["k"]]), (row["h"], row["k"])
+
+
+def test_transr_scores_and_loss_match_numpy(spark):
+    """calc_kg_loss (KGAT-pytorch/model/KGAT.py:132-162, Eq 1-2) vs a
+    direct numpy evaluation of the same batch."""
+    from kgp.functions.losses import transr_kg_loss, transr_scores
+
+    rng = np.random.default_rng(7)
+    E, R, W = rng.normal(size=(6, 4)), rng.normal(size=(3, 2)), rng.normal(size=(3, 2, 4))
+    rows = [(0, 0, 1, 2), (3, 1, 4, 5), (2, 2, 0, 3), (5, 0, 5, 1)]
+    batch = spark.createDataFrame(rows, "h long, r int, pos_t long, neg_t long")
+    got = {
+        (r["h"], r["r"], r["pos_t"], r["neg_t"]): r
+        for r in transr_scores(spark, batch, E, R, W).collect()
+    }
+    kg_terms, l2_terms = [], []
+    for h, r, p, ng in rows:
+        mh, mp, mn = W[r] @ E[h], W[r] @ E[p], W[r] @ E[ng]
+        pos = float(((mh + R[r] - mp) ** 2).sum())
+        neg = float(((mh + R[r] - mn) ** 2).sum())
+        l2 = float((mh**2).sum() + (R[r] ** 2).sum() + (mp**2).sum() + (mn**2).sum()) / 2
+        row = got[(h, r, p, ng)]
+        assert row["pos_score"] == pytest.approx(pos)
+        assert row["neg_score"] == pytest.approx(neg)
+        assert row["l2_row"] == pytest.approx(l2)
+        kg_terms.append(np.logaddexp(0.0, pos - neg))
+        l2_terms.append(l2)
+    lam = 1e-4
+    loss_row = transr_kg_loss(transr_scores(spark, batch, E, R, W), l2_lambda=lam).first()
+    assert loss_row["n"] == len(rows)
+    assert loss_row["kg_loss"] == pytest.approx(np.mean(kg_terms), abs=1e-6)
+    assert loss_row["loss"] == pytest.approx(np.mean(kg_terms) + lam * np.mean(l2_terms), abs=1e-6)
