@@ -527,6 +527,41 @@ def _q_kgat_cf_embedding(spark, sf_dir):
     return out.select("h", "k", F.round("val", 6).alias("val"))
 
 
+_CF_SCORE_USER_MOD = 5
+
+
+def _q_kgat_cf_score(spark, sf_dir):
+    """The reference's cf_score (KGAT-pytorch/model/KGAT.py:179-193,
+    Equation 12): eval-user x eval-item score matrix as dot products over
+    the concatenated stacked cf_embedding — relational matmul (join on the
+    concat dim with the eval-user side broadcast + grouped sum), exactly
+    the composition calc_score runs per test batch."""
+    import numpy as np
+
+    from kgp.fixtures import attention_fixture, cf_layer_fixture
+    from kgp.stages.graph import (
+        edge_softmax,
+        kgat_attention,
+        kgat_cf_embedding,
+        kgat_cf_score,
+    )
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
+    ).distinct()
+    scored = edge_softmax(kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w)))
+    all_embed = kgat_cf_embedding(spark, scored, ent, cf_layer_fixture(_CF_EMB_DIMS))
+    ids = spark.range(_ATT_N_ENT)
+    users = ids.where(F.col("id") % _CF_SCORE_USER_MOD == 2).select(F.col("id").alias("user"))
+    items = ids.where(F.col("id") % _CF_SCORE_USER_MOD != 2).select(F.col("id").alias("item"))
+    out = kgat_cf_score(all_embed, users, items)
+    return out.select("user", "item", F.round("score", 6).alias("score"))
+
+
 _TRANSR_LAMBDA = 1e-5
 
 
@@ -1125,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgat_attention": _q_kgat_attention,
         "kgat_aggregate": _q_kgat_aggregate,
         "kgat_cf_embedding": _q_kgat_cf_embedding,
+        "kgat_cf_score": _q_kgat_cf_score,
         "kgat_transr_scores": _q_transr_scores,
         "loss_kg_transr": _q_loss_kg_transr,
         # reference-format readers (S1-S7)
@@ -1216,6 +1252,18 @@ def _transr_fixture():
     return attention_fixture(_ATT_N_ENT, _ATT_N_REL)
 
 
+def _kgat_cf_score_oracle() -> str:
+    from kgp.fixtures import cf_layer_fixture
+
+    return oracles.kgat_cf_score_sql(
+        *_transr_fixture(),
+        cf_layer_fixture(_CF_EMB_DIMS),
+        _ATT_N_ENT,
+        _ATT_N_REL,
+        _CF_SCORE_USER_MOD,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = ensure_fixtures(SF01)
     rp = _reader_paths()
@@ -1258,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "kgat_attention": _kgat_attention_oracle(),
         "kgat_aggregate": _kgat_aggregate_oracle(),
         "kgat_cf_embedding": _kgat_cf_embedding_oracle(),
+        "kgat_cf_score": _kgat_cf_score_oracle(),
         "kgat_transr_scores": oracles.transr_scores_sql(
             *_transr_fixture(), _ATT_N_ENT, _ATT_N_REL
         ),

@@ -700,17 +700,16 @@ def _att_expr(d: int, dr: int) -> str:
     )
 
 
-def kgat_cf_embedding_sql(
+def _cf_embedding_with_clause(
     ent_emb, rel_emb, rel_w, layers, n_ent: int, n_rel: int, alpha: float = 0.2
 ) -> str:
-    """Twin of kgp.stages.graph.kgat_cf_embedding (KGAT-pytorch/model/
-    KGAT.py:164-176 ``cf_embedding``, Equation 11): the attention +
-    edge-softmax CTEs feed a CHAIN of bi-interaction layer CTE blocks —
-    each block is the kgat_aggregate twin re-rooted at the previous
-    layer's long-form embedding, followed by a per-node L2 normalize —
-    and the final SELECT unions ego + every normalized layer with global
-    concat offsets. Long-form (h, k, val), rounded to 6 dp (two layers of
-    grouped double sums; same jitter budget as the aggregate twin)."""
+    """Shared WITH-clause for the stacked cf_embedding twins
+    (KGAT-pytorch/model/KGAT.py:164-176 ``cf_embedding``, Equation 11):
+    the attention + edge-softmax CTEs feed a CHAIN of bi-interaction layer
+    CTE blocks — each block is the kgat_aggregate twin re-rooted at the
+    previous layer's long-form embedding, followed by a per-node L2
+    normalize — ending in an ``allemb(h, k, val)`` CTE that unions ego +
+    every normalized layer with global concat offsets (unrounded)."""
     d0 = len(ent_emb[0])
     dr = len(rel_emb[0])
     score = _att_expr(d0, dr)
@@ -742,7 +741,7 @@ def kgat_cf_embedding_sql(
                  unnest(e) AS val
           FROM ent)"""
     ]
-    parts = [f"SELECT CAST(h AS BIGINT) AS h, CAST(i - 1 AS BIGINT) AS k, round(val, 6) AS val FROM emb0"]
+    parts = [f"SELECT h, i - 1 AS k, val FROM emb0"]
     offset = d0
     for k, (w1, w2) in enumerate(layers, start=1):
         d_in, d_out = len(w1), len(w1[0])
@@ -771,12 +770,50 @@ def kgat_cf_embedding_sql(
  emb{k} AS (SELECT o.h, o.j AS i, o.val / n.nrm AS val
             FROM out{k} o JOIN nrm{k} n ON n.h = o.h)"""
         )
-        parts.append(
-            f"SELECT CAST(h AS BIGINT) AS h, CAST(i - 1 + {offset} AS BIGINT) AS k, "
-            f"round(val, 6) AS val FROM emb{k}"
-        )
+        parts.append(f"SELECT h, i - 1 + {offset} AS k, val FROM emb{k}")
         offset += d_out
-    return "WITH " + ",\n ".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+    ctes.append("allemb AS (" + "\n UNION ALL\n ".join(parts) + ")")
+    return "WITH " + ",\n ".join(ctes)
+
+
+def kgat_cf_embedding_sql(
+    ent_emb, rel_emb, rel_w, layers, n_ent: int, n_rel: int, alpha: float = 0.2
+) -> str:
+    """Twin of kgp.stages.graph.kgat_cf_embedding: the stacked-layer
+    WITH-clause (see :func:`_cf_embedding_with_clause`), projected as
+    long-form (h, k, val) rounded to 6 dp (two layers of grouped double
+    sums; same jitter budget as the aggregate twin)."""
+    w = _cf_embedding_with_clause(ent_emb, rel_emb, rel_w, layers, n_ent, n_rel, alpha)
+    return (
+        w
+        + "\nSELECT CAST(h AS BIGINT) AS h, CAST(k AS BIGINT) AS k, "
+        + "round(val, 6) AS val FROM allemb"
+    )
+
+
+def kgat_cf_score_sql(
+    ent_emb,
+    rel_emb,
+    rel_w,
+    layers,
+    n_ent: int,
+    n_rel: int,
+    user_mod: int,
+    alpha: float = 0.2,
+) -> str:
+    """Twin of kgp.stages.graph.kgat_cf_score (KGAT-pytorch/model/
+    KGAT.py:179-193 ``cf_score``, Equation 12): eval users are the
+    embedding ids with ``h % user_mod == 2``, eval items the rest;
+    score(u, i) = dot over the concat dim of the stacked cf_embedding."""
+    w = _cf_embedding_with_clause(ent_emb, rel_emb, rel_w, layers, n_ent, n_rel, alpha)
+    return f"""{w},
+ ue AS (SELECT h AS u, k, val FROM allemb WHERE h % {user_mod} = 2),
+ ie AS (SELECT h AS i, k, val FROM allemb WHERE h % {user_mod} <> 2)
+SELECT CAST(ue.u AS BIGINT) AS "user", CAST(ie.i AS BIGINT) AS item,
+       round(sum(ue.val * ie.val), 6) AS score
+FROM ue JOIN ie ON ue.k = ie.k
+GROUP BY ue.u, ie.i
+"""
 
 
 def _transr_ctes(ent_emb, rel_emb, rel_w, n_ent: int, n_rel: int) -> str:

@@ -410,3 +410,36 @@ def kgat_cf_embedding(
     for p in parts[1:]:
         all_embed = all_embed.unionByName(p)
     return all_embed.select(F.col("id").alias("h"), "k", "val")
+
+
+def kgat_cf_score(
+    all_embed: DataFrame, users: DataFrame, items: DataFrame
+) -> DataFrame:
+    """The reference's ``cf_score`` (KGAT-pytorch/model/KGAT.py:179-193,
+    Equation 12): full eval-user x eval-item score matrix
+    ``score(u, i) = all_embed[u] . all_embed[i]`` over the concatenated
+    :func:`kgat_cf_embedding` output — relational matmul as join-on-dim +
+    grouped sum, long form ``(user, item, score)``.
+
+    Scale shape mirrors the reference's own batching: it evaluates users
+    in ``test_batch_size`` chunks precisely because a full-matmul row
+    block is the work unit, so the user-side embedding here is an
+    eval-batch-sized table and is broadcast; the item side (the whole
+    catalog) stays distributed and is touched once. The join key is the
+    concat dimension k (low cardinality) — with the user side broadcast
+    there is no shuffle on k at all, only the final uniform (user, item)
+    aggregation. For catalog-scale top-k without the full matrix, the ANN
+    ops (kgp/ops/similarity.py) are the scale path.
+    """
+    ue = all_embed.join(
+        F.broadcast(users), all_embed["h"] == users["user"]
+    ).select("user", "k", F.col("val").alias("uval"))
+    ie = all_embed.join(
+        F.broadcast(items), all_embed["h"] == items["item"]
+    ).select("item", "k", F.col("val").alias("ival"))
+    return (
+        F.broadcast(ue)
+        .join(ie, "k")
+        .groupBy("user", "item")
+        .agg(F.sum(F.col("uval") * F.col("ival")).alias("score"))
+    )

@@ -186,6 +186,19 @@ def test_kgat_cf_embedding_matches_numpy(spark):
     for row in got:
         assert row["val"] == pytest.approx(want[row["h"], row["k"]]), (row["h"], row["k"])
 
+    # cf_score (KGAT.py:179-193, Eq 12) on top of the same embedding:
+    # users {0, 3}, items {1, 2, 4} -> full dot-product matrix
+    from pyspark.sql import functions as F
+    from kgp.stages.graph import kgat_cf_score
+
+    all_embed = kgat_cf_embedding(spark, edges, E, layers)
+    users = spark.createDataFrame([(0,), (3,)], "user long")
+    items = spark.createDataFrame([(1,), (2,), (4,)], "item long")
+    scores = kgat_cf_score(all_embed, users, items).collect()
+    assert len(scores) == 6
+    for row in scores:
+        assert row["score"] == pytest.approx(float(want[row["user"]] @ want[row["item"]]))
+
 
 def test_transr_scores_and_loss_match_numpy(spark):
     """calc_kg_loss (KGAT-pytorch/model/KGAT.py:132-162, Eq 1-2) vs a
