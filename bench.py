@@ -83,6 +83,7 @@ def run_bench(sf_dir: str, cpus: str, out=sys.stdout) -> dict:
     )
 
     timings: dict[str, float] = {}
+    qs = entry.queries()
     legs: dict[str, list[float]] = {}
     # Per-query legs (default 2, BENCH_LEGS overrides): report the MIN leg.
     # Single cold samples on this shared host swing up to 4x under
