@@ -475,12 +475,14 @@ def _q_kgat_attention(spark, sf_dir):
     )
 
 
-def _q_kgat_aggregate(spark, sf_dir):
-    """KGAT bi-interaction aggregation round (KGAT-pytorch/model/
-    KGAT.py:38-108): attention + per-destination softmax (F7/A10) composed
-    into the per-node embedding update e_h' = leaky(W1(e_h + e_N)) +
-    leaky(W2(e_h * e_N)) with e_N = sum att * e_t — pure groupBy-sum +
-    broadcast dataflow, one row per (entity, output dim)."""
+def _kgat_aggregate_impl(spark, sf_dir, aggregator: str):
+    """KGAT aggregation round (KGAT-pytorch/model/KGAT.py:38-108, all
+    three user-facing ``aggregation_type`` variants): attention +
+    per-destination softmax (F7/A10) composed into the per-node embedding
+    update over e_N = sum att * e_t — pure groupBy-sum + broadcast
+    dataflow, one row per (entity, output dim). Bi-interaction:
+    e_h' = leaky(W1(e_h + e_N)) + leaky(W2(e_h * e_N)); gcn drops the
+    W2 term; graphsage is the concat-linear split leaky(W1 e_h + W2 e_N)."""
     import numpy as np
 
     from kgp.fixtures import aggregate_fixture, attention_fixture
@@ -495,8 +497,27 @@ def _q_kgat_aggregate(spark, sf_dir):
         (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
     ).distinct()
     scored = edge_softmax(kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w)))
-    out = kgat_aggregate(spark, scored, ent, w1, w2)
+    out = kgat_aggregate(
+        spark,
+        scored,
+        ent,
+        w1,
+        None if aggregator == "gcn" else w2,  # exercise the zeros default
+        aggregator=aggregator,
+    )
     return out.select("h", "j", F.round("e_out", 6).alias("e_out"))
+
+
+def _q_kgat_aggregate(spark, sf_dir):
+    return _kgat_aggregate_impl(spark, sf_dir, "bi-interaction")
+
+
+def _q_kgat_aggregate_gcn(spark, sf_dir):
+    return _kgat_aggregate_impl(spark, sf_dir, "gcn")
+
+
+def _q_kgat_aggregate_graphsage(spark, sf_dir):
+    return _kgat_aggregate_impl(spark, sf_dir, "graphsage")
 
 
 _CF_EMB_DIMS = (8, 6, 4)
@@ -560,6 +581,45 @@ def _q_kgat_cf_score(spark, sf_dir):
     items = ids.where(F.col("id") % _CF_SCORE_USER_MOD != 2).select(F.col("id").alias("item"))
     out = kgat_cf_score(all_embed, users, items)
     return out.select("user", "item", F.round("score", 6).alias("score"))
+
+
+_CF_LOSS_LAMBDA = 1e-5
+
+
+def _q_kgat_cf_loss(spark, sf_dir):
+    """The reference's calc_cf_loss (KGAT-pytorch/model/KGAT.py:195-219,
+    Equations 12-13): BPR + L2 over the stacked concat cf_embedding for a
+    deterministic DISTINCT (user, pos_item, neg_item) lineitem batch —
+    three uniform equi-joins on the concat dim, one grouped sum per batch
+    row, one global mean. Nothing is collected; both the batch and the
+    embedding table stay distributed."""
+    import numpy as np
+
+    from kgp.fixtures import attention_fixture, cf_layer_fixture
+    from kgp.stages.graph import (
+        edge_softmax,
+        kgat_attention,
+        kgat_cf_embedding,
+        kgat_cf_loss,
+    )
+
+    ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("h"),
+        (F.col("l_linenumber") % _ATT_N_REL).cast("int").alias("r"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("t"),
+    ).distinct()
+    scored = edge_softmax(kgat_attention(spark, edges, np.array(ent), np.array(rel), np.array(w)))
+    all_embed = kgat_cf_embedding(spark, scored, ent, cf_layer_fixture(_CF_EMB_DIMS))
+    batch = li.select(
+        (F.col("l_suppkey") % _ATT_N_ENT).cast("long").alias("user"),
+        (F.col("l_partkey") % _ATT_N_ENT).cast("long").alias("pos_item"),
+        ((F.col("l_partkey") + 13 * F.col("l_suppkey") + 7) % _ATT_N_ENT)
+        .cast("long")
+        .alias("neg_item"),
+    ).distinct()
+    return kgat_cf_loss(all_embed, batch, l2_lambda=_CF_LOSS_LAMBDA)
 
 
 _TRANSR_LAMBDA = 1e-5
@@ -1159,8 +1219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kgat_edges": _q_kgat_edges,
         "kgat_attention": _q_kgat_attention,
         "kgat_aggregate": _q_kgat_aggregate,
+        "kgat_aggregate_gcn": _q_kgat_aggregate_gcn,
+        "kgat_aggregate_graphsage": _q_kgat_aggregate_graphsage,
         "kgat_cf_embedding": _q_kgat_cf_embedding,
         "kgat_cf_score": _q_kgat_cf_score,
+        "kgat_cf_loss": _q_kgat_cf_loss,
         "kgat_transr_scores": _q_transr_scores,
         "loss_kg_transr": _q_loss_kg_transr,
         # reference-format readers (S1-S7)
@@ -1229,12 +1292,28 @@ def _kgat_attention_oracle() -> str:
     return oracles.kgat_attention_sql(ent, rel, w, _ATT_N_ENT, _ATT_N_REL)
 
 
-def _kgat_aggregate_oracle() -> str:
+def _kgat_aggregate_oracle(aggregator: str = "bi-interaction") -> str:
     from kgp.fixtures import aggregate_fixture, attention_fixture
 
     ent, rel, w = attention_fixture(_ATT_N_ENT, _ATT_N_REL)
     w1, w2 = aggregate_fixture(d=len(ent[0]))
-    return oracles.kgat_aggregate_sql(ent, rel, w, w1, w2, _ATT_N_ENT, _ATT_N_REL)
+    if aggregator == "gcn":
+        w2 = [[0.0] * len(w1[0]) for _ in w1]  # the Spark query passes None
+    return oracles.kgat_aggregate_sql(
+        ent, rel, w, w1, w2, _ATT_N_ENT, _ATT_N_REL, aggregator=aggregator
+    )
+
+
+def _kgat_cf_loss_oracle() -> str:
+    from kgp.fixtures import cf_layer_fixture
+
+    return oracles.kgat_cf_loss_sql(
+        *_transr_fixture(),
+        cf_layer_fixture(_CF_EMB_DIMS),
+        _ATT_N_ENT,
+        _ATT_N_REL,
+        _CF_LOSS_LAMBDA,
+    )
 
 
 def _kgat_cf_embedding_oracle() -> str:
@@ -1305,8 +1384,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_kgat_edges": oracles.kgat_edges_sql(),
         "kgat_attention": _kgat_attention_oracle(),
         "kgat_aggregate": _kgat_aggregate_oracle(),
+        "kgat_aggregate_gcn": _kgat_aggregate_oracle("gcn"),
+        "kgat_aggregate_graphsage": _kgat_aggregate_oracle("graphsage"),
         "kgat_cf_embedding": _kgat_cf_embedding_oracle(),
         "kgat_cf_score": _kgat_cf_score_oracle(),
+        "kgat_cf_loss": _kgat_cf_loss_oracle(),
         "kgat_transr_scores": oracles.transr_scores_sql(
             *_transr_fixture(), _ATT_N_ENT, _ATT_N_REL
         ),

@@ -604,13 +604,24 @@ FROM scored s JOIN z ON s.t = z.t
 
 
 def kgat_aggregate_sql(
-    ent_emb, rel_emb, rel_w, w1, w2, n_ent: int, n_rel: int, alpha: float = 0.2
+    ent_emb,
+    rel_emb,
+    rel_w,
+    w1,
+    w2,
+    n_ent: int,
+    n_rel: int,
+    alpha: float = 0.2,
+    aggregator: str = "bi-interaction",
 ) -> str:
     """Twin of kgp.stages.graph.kgat_aggregate composed after
     kgat_attention + edge_softmax over the deterministic lineitem edge
-    table (KGAT-pytorch/model/KGAT.py:38-108 bi-interaction round):
+    table (KGAT-pytorch/model/KGAT.py:38-64 ``Aggregator``, all three
+    ``aggregation_type`` variants). Bi-interaction:
     e_N(h) = sum att * e_t; e_out = leaky(sum s*W1) + leaky(sum p*W2)
-    with s = e_h + e_N, p = e_h * e_N. Rounded to 6 dp (the groupBy sums
+    with s = e_h + e_N, p = e_h * e_N; gcn keeps only the s/W1 term;
+    graphsage uses s = e_h, p = e_N under one leaky (the concat-linear
+    split, kgp.stages.graph._agg_tail). Rounded to 6 dp (the groupBy sums
     have more terms than the attention dots, so the float sum-order
     jitter budget is looser than the 9-dp attention twin's)."""
     d = len(ent_emb[0])
@@ -637,6 +648,18 @@ def kgat_aggregate_sql(
 
     def leaky(c: str) -> str:
         return f"(CASE WHEN {c} > 0 THEN {c} ELSE {alpha!r} * {c} END)"
+
+    if aggregator == "graphsage":
+        s_expr, p_expr = "b.e_h", "coalesce(m.n_val, 0.0)"
+        out_expr = leaky("(z1 + z2)")
+    elif aggregator == "gcn":
+        s_expr = "b.e_h + coalesce(m.n_val, 0.0)"
+        p_expr = "b.e_h * coalesce(m.n_val, 0.0)"
+        out_expr = leaky("z1")
+    else:
+        s_expr = "b.e_h + coalesce(m.n_val, 0.0)"
+        p_expr = "b.e_h * coalesce(m.n_val, 0.0)"
+        out_expr = f"{leaky('z1')} + {leaky('z2')}"
 
     return f"""
 WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
@@ -669,14 +692,14 @@ WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
                  unnest(e) AS e_h
           FROM ent),
  comb AS (SELECT b.h, b.i,
-                 b.e_h + coalesce(m.n_val, 0.0) AS s,
-                 b.e_h * coalesce(m.n_val, 0.0) AS p
+                 {s_expr} AS s,
+                 {p_expr} AS p
           FROM base b LEFT JOIN msg m ON m.h = b.h AND m.i = b.i),
  lin AS (SELECT c.h, ww.j, sum(c.s * ww.w1) AS z1, sum(c.p * ww.w2) AS z2
          FROM comb c JOIN w12 ww ON ww.i = c.i
          GROUP BY c.h, ww.j)
 SELECT CAST(h AS BIGINT) AS h, CAST(j AS BIGINT) AS j,
-       round({leaky('z1')} + {leaky('z2')}, 6) AS e_out
+       round({out_expr}, 6) AS e_out
 FROM lin
 """
 
@@ -813,6 +836,50 @@ SELECT CAST(ue.u AS BIGINT) AS "user", CAST(ie.i AS BIGINT) AS item,
        round(sum(ue.val * ie.val), 6) AS score
 FROM ue JOIN ie ON ue.k = ie.k
 GROUP BY ue.u, ie.i
+"""
+
+
+def kgat_cf_loss_sql(
+    ent_emb,
+    rel_emb,
+    rel_w,
+    layers,
+    n_ent: int,
+    n_rel: int,
+    l2_lambda: float = 1e-5,
+    alpha: float = 0.2,
+) -> str:
+    """Twin of kgp.stages.graph.kgat_cf_loss (KGAT-pytorch/model/
+    KGAT.py:195-219 ``calc_cf_loss``, Equations 12-13) over the same
+    deterministic DISTINCT lineitem batch the Spark query uses (distinct,
+    so the per-row surrogate key and this GROUP BY agree on multiplicity):
+
+        pos/neg = dot over the stacked concat embedding        (Eq 12)
+        loss    = mean softplus(neg - pos) + lambda * mean L2  (Eq 13)
+
+    Softplus in the same max-shifted stable form as the Spark side."""
+    w = _cf_embedding_with_clause(ent_emb, rel_emb, rel_w, layers, n_ent, n_rel, alpha)
+    sp = "greatest(neg - pos, 0.0) + ln(1 + exp(-abs(neg - pos)))"
+    return f"""{w},
+ batch AS (SELECT DISTINCT l_suppkey % {n_ent} AS u,
+                  l_partkey % {n_ent} AS p,
+                  (l_partkey + 13 * l_suppkey + 7) % {n_ent} AS ng
+           FROM lineitem),
+ per AS (SELECT b.u, b.p, b.ng,
+                sum(ue.val * pe.val) AS pos,
+                sum(ue.val * ne.val) AS neg,
+                sum(ue.val * ue.val + pe.val * pe.val + ne.val * ne.val) / 2
+                  AS l2_row
+         FROM batch b
+         JOIN allemb ue ON ue.h = b.u
+         JOIN allemb pe ON pe.h = b.p AND pe.k = ue.k
+         JOIN allemb ne ON ne.h = b.ng AND ne.k = ue.k
+         GROUP BY b.u, b.p, b.ng)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg({sp}), 6) AS cf_loss,
+       round(avg(l2_row), 6) AS l2_loss,
+       round(avg({sp}) + {l2_lambda!r} * avg(l2_row), 6) AS loss
+FROM per
 """
 
 

@@ -209,21 +209,87 @@ def edge_softmax(edges_scored: DataFrame) -> DataFrame:
     )
 
 
+_AGGREGATOR_TYPES = ("bi-interaction", "gcn", "graphsage")
+
+
+def _agg_tail(
+    base: DataFrame,
+    msgs: DataFrame,
+    w_df: DataFrame,
+    aggregator: str,
+    alpha: float,
+) -> DataFrame:
+    """Shared combine -> linear -> LeakyReLU tail of one aggregation round
+    (KGAT-pytorch/model/KGAT.py:51-64 ``Aggregator.forward``, Equations
+    6-9). ``base`` is the long-form ego embedding (h, i, e_h); ``msgs``
+    the attention-weighted neighbor sums (h, i, n_val); ``w_df`` the tiny
+    broadcastable (i, j, w1, w2) weight table. Per variant:
+
+        gcn:            leaky( sum_i (e_h + e_N)[i] * W1[i][j] )
+        graphsage:      leaky( sum_i e_h[i]*W1[i][j] + e_N[i]*W2[i][j] )
+                        (W1/W2 = the top/bottom halves of the reference's
+                         single (2*d_in x d_out) weight over the concat
+                         [e_h ; e_N] — same linear map, split by operand)
+        bi-interaction: leaky(sum (e_h+e_N) W1) + leaky(sum (e_h*e_N) W2)
+
+    The only shuffle is the uniform (h, j) groupBy; the weight table is a
+    broadcast at every scale.
+    """
+    if aggregator not in _AGGREGATOR_TYPES:
+        raise ValueError(f"aggregator must be one of {_AGGREGATOR_TYPES}: {aggregator}")
+    e_h = F.col("e_h")
+    e_n = F.coalesce("n_val", F.lit(0.0))
+    if aggregator == "graphsage":
+        s, p = e_h, e_n
+    else:
+        s, p = e_h + e_n, e_h * e_n
+    combined = base.join(msgs, ["h", "i"], "left").select(
+        "h", "i", s.alias("s"), p.alias("p")
+    )
+    lin = (
+        combined.join(F.broadcast(w_df), "i")
+        .groupBy("h", "j")
+        .agg(
+            F.sum(F.col("s") * F.col("w1")).alias("z1"),
+            F.sum(F.col("p") * F.col("w2")).alias("z2"),
+        )
+    )
+
+    def leaky(c):
+        return F.when(c > 0, c).otherwise(alpha * c)
+
+    if aggregator == "bi-interaction":
+        out = leaky(F.col("z1")) + leaky(F.col("z2"))
+    elif aggregator == "gcn":
+        out = leaky(F.col("z1"))
+    else:
+        out = leaky(F.col("z1") + F.col("z2"))
+    return lin.select("h", "j", out.alias("e_out"))
+
+
 def kgat_aggregate(
     spark,
     edges_att: DataFrame,
     ent_emb,
     w1,
-    w2,
+    w2=None,
     alpha: float = 0.2,
+    aggregator: str = "bi-interaction",
 ) -> DataFrame:
-    """One KGAT bi-interaction aggregation round over softmaxed edges
-    (KGAT-pytorch/model/KGAT.py:38-108 ``Aggregator`` bi-interaction
-    branch): per node h,
+    """One KGAT aggregation round over softmaxed edges
+    (KGAT-pytorch/model/KGAT.py:38-108 ``Aggregator``; the reference's
+    user-facing ``aggregation_type`` choice {gcn, graphsage,
+    bi-interaction}, KGAT.py:17-32): per node h,
 
         e_N(h)  = sum over out-edges (h, r, t) of  att * e_t
+        e_h'    = per-variant linear + LeakyReLU over (e_h, e_N)
+                  (see :func:`_agg_tail`; bi-interaction shown below)
+
         e_h'[j] = LeakyReLU( sum_i (e_h + e_N)[i] * W1[i][j] )
                 + LeakyReLU( sum_i (e_h * e_N)[i] * W2[i][j] )
+
+    ``w2`` is unused by the gcn variant (pass None); for graphsage pass
+    the two halves of the concat weight as (w1, w2).
 
     -> one row per (h, j): ``(h, j, e_out)``, for all entities in the
     embedding table (a node with no out-edges aggregates e_N = 0, like an
@@ -240,6 +306,8 @@ def kgat_aggregate(
     and weights ship once per executor as broadcasts.
     """
     d_in = len(ent_emb[0])
+    if w2 is None:
+        w2 = [[0.0] * len(w1[0]) for _ in range(d_in)]
     emb_rows = [(i, [float(x) for x in row]) for i, row in enumerate(ent_emb)]
     emb_df = spark.createDataFrame(emb_rows, "id long, emb array<double>")
     w_rows = [
@@ -264,33 +332,8 @@ def kgat_aggregate(
     base = emb_df.select(
         F.col("id").alias("h"), F.posexplode("emb").alias("i", "e_h")
     )
-    combined = (
-        base.join(msgs, ["h", "i"], "left")
-        .withColumn("e_n", F.coalesce("n_val", F.lit(0.0)))
-        .select(
-            "h",
-            "i",
-            (F.col("e_h") + F.col("e_n")).alias("s"),
-            (F.col("e_h") * F.col("e_n")).alias("p"),
-        )
-    )
-    lin = (
-        combined.join(F.broadcast(w_df), "i")
-        .groupBy("h", "j")
-        .agg(
-            F.sum(F.col("s") * F.col("w1")).alias("z1"),
-            F.sum(F.col("p") * F.col("w2")).alias("z2"),
-        )
-    )
-
-    def leaky(c):
-        return F.when(c > 0, c).otherwise(alpha * c)
-
-    return lin.select(
-        "h",
-        F.col("j").cast("long").alias("j"),
-        (leaky(F.col("z1")) + leaky(F.col("z2"))).alias("e_out"),
-    )
+    out = _agg_tail(base, msgs, w_df, aggregator, alpha)
+    return out.select("h", F.col("j").cast("long").alias("j"), "e_out")
 
 
 def _aggregate_long(
@@ -298,9 +341,11 @@ def _aggregate_long(
     edges_att: DataFrame,
     w_df: DataFrame,
     alpha: float = 0.2,
+    aggregator: str = "bi-interaction",
 ) -> DataFrame:
-    """One bi-interaction round over LONG-FORM embeddings ``(id, i, val)``
-    — the stacked-layer building block of :func:`kgat_cf_embedding`.
+    """One aggregation round over LONG-FORM embeddings ``(id, i, val)``
+    — the stacked-layer building block of :func:`kgat_cf_embedding`
+    (variant formulas: :func:`_agg_tail`; bi-interaction shown below).
 
     Unlike :func:`kgat_aggregate` (which broadcasts a driver-side
     embedding list, fine for one round over fixture-sized matrices), this
@@ -321,31 +366,7 @@ def _aggregate_long(
         .agg(F.sum(F.col("val") * F.col("att")).alias("n_val"))
     )
     base = emb_long.select(F.col("id").alias("h"), "i", F.col("val").alias("e_h"))
-    combined = (
-        base.join(msgs, ["h", "i"], "left")
-        .withColumn("e_n", F.coalesce("n_val", F.lit(0.0)))
-        .select(
-            "h",
-            "i",
-            (F.col("e_h") + F.col("e_n")).alias("s"),
-            (F.col("e_h") * F.col("e_n")).alias("p"),
-        )
-    )
-    lin = (
-        combined.join(F.broadcast(w_df), "i")
-        .groupBy("h", "j")
-        .agg(
-            F.sum(F.col("s") * F.col("w1")).alias("z1"),
-            F.sum(F.col("p") * F.col("w2")).alias("z2"),
-        )
-    )
-
-    def leaky(c):
-        return F.when(c > 0, c).otherwise(alpha * c)
-
-    return lin.select(
-        "h", "j", (leaky(F.col("z1")) + leaky(F.col("z2"))).alias("e_out")
-    )
+    return _agg_tail(base, msgs, w_df, aggregator, alpha)
 
 
 def kgat_cf_embedding(
@@ -354,9 +375,10 @@ def kgat_cf_embedding(
     ent_emb,
     layers,
     alpha: float = 0.2,
+    aggregator: str = "bi-interaction",
 ) -> DataFrame:
     """The reference's full ``cf_embedding`` (KGAT-pytorch/model/
-    KGAT.py:164-176, Equation 11): stack the bi-interaction aggregator
+    KGAT.py:164-176, Equation 11): stack the chosen aggregator
     over the softmaxed edge table, L2-normalizing each layer's output,
     and CONCAT ego + every layer:
 
@@ -389,7 +411,7 @@ def kgat_cf_embedding(
             for j in range(len(w1[0]))
         ]
         w_df = spark.createDataFrame(w_rows, "i int, j int, w1 double, w2 double")
-        out = _aggregate_long(cur, edges_att, w_df, alpha=alpha)
+        out = _aggregate_long(cur, edges_att, w_df, alpha=alpha, aggregator=aggregator)
         nrm = out.groupBy("h").agg(
             F.greatest(F.sqrt(F.sum(F.col("e_out") * F.col("e_out"))), F.lit(1e-12)).alias("nrm")
         )
@@ -442,4 +464,80 @@ def kgat_cf_score(
         .join(ie, "k")
         .groupBy("user", "item")
         .agg(F.sum(F.col("uval") * F.col("ival")).alias("score"))
+    )
+
+
+def kgat_cf_loss(
+    all_embed: DataFrame, batch: DataFrame, l2_lambda: float = 1e-5
+) -> DataFrame:
+    """The reference's ``calc_cf_loss`` (KGAT-pytorch/model/KGAT.py:195-219,
+    Equations 12-13) over the stacked concat embedding: for a training
+    batch of ``(user, pos_item, neg_item)`` id triples (all indices into
+    the one entity+user embedding table, like the reference's
+    ``entity_user_embed``),
+
+        pos_score = e_u . e_pos          neg_score = e_u . e_neg   (Eq 12)
+        cf_loss   = mean(-logsigmoid(pos_score - neg_score))       (Eq 13)
+        l2_row    = (|e_u|^2 + |e_pos|^2 + |e_neg|^2) / 2
+        loss      = cf_loss + l2_lambda * mean(l2_row)   (KGAT.py:9-10,217)
+
+    -> 1 row ``(n, cf_loss, l2_loss, loss)``. Softplus in the same
+    max-shifted stable form as :func:`kgp.functions.losses.bpr_loss`
+    (``-logsigmoid(x) = softplus(-x)``).
+
+    Dataflow: each batch row gets a per-evaluation surrogate key, then
+    three equi-joins against the long-form ``(h, k, val)`` embedding on
+    (id, concat-dim) feed one grouped sum per row (the Eq-12 dots and the
+    three _L2_loss_mean terms folded together) and one global avg. Both
+    sides stay distributed — a cf_batch of millions of triples joining a
+    billion-entity embedding table is three uniform hash joins plus a
+    uniform row-key agg; nothing is collected and no side must fit in
+    memory. The surrogate key (not a groupBy on the id triple) keeps
+    duplicate batch rows — the reference samples with replacement — from
+    silently collapsing.
+    """
+    keyed = batch.select(
+        F.monotonically_increasing_id().alias("_row"), "user", "pos_item", "neg_item"
+    )
+    ue = all_embed.select(F.col("h").alias("user"), "k", F.col("val").alias("uval"))
+    pe = all_embed.select(
+        F.col("h").alias("pos_item"), "k", F.col("val").alias("pval")
+    )
+    ne = all_embed.select(
+        F.col("h").alias("neg_item"), "k", F.col("val").alias("nval")
+    )
+    per_row = (
+        keyed.join(ue, "user")
+        .join(pe, ["pos_item", "k"])
+        .join(ne, ["neg_item", "k"])
+        .groupBy("_row")
+        .agg(
+            F.sum(F.col("uval") * F.col("pval")).alias("pos_score"),
+            F.sum(F.col("uval") * F.col("nval")).alias("neg_score"),
+            (
+                F.sum(
+                    F.col("uval") * F.col("uval")
+                    + F.col("pval") * F.col("pval")
+                    + F.col("nval") * F.col("nval")
+                )
+                / 2
+            ).alias("l2_row"),
+        )
+    )
+    # cf_loss row term: -logsigmoid(pos - neg) = softplus(neg - pos)
+    d = F.col("neg_score") - F.col("pos_score")
+    row = F.greatest(d, F.lit(0.0)) + F.log1p(F.exp(-F.abs(d)))
+    return (
+        per_row.select(row.alias("_l"), "l2_row")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_l").alias("_cf"),
+            F.avg("l2_row").alias("_l2"),
+        )
+        .select(
+            "n",
+            F.round("_cf", 6).alias("cf_loss"),
+            F.round("_l2", 6).alias("l2_loss"),
+            F.round(F.col("_cf") + F.lit(l2_lambda) * F.col("_l2"), 6).alias("loss"),
+        )
     )

@@ -200,6 +200,98 @@ def test_kgat_cf_embedding_matches_numpy(spark):
         assert row["score"] == pytest.approx(float(want[row["user"]] @ want[row["item"]]))
 
 
+def test_kgat_aggregate_variants_match_numpy(spark):
+    """All three reference aggregators (KGAT-pytorch/model/KGAT.py:38-64
+    ``aggregation_type`` in {gcn, graphsage, bi-interaction}) vs direct
+    numpy message passing over the same softmaxed edge table."""
+    from kgp.stages.graph import kgat_aggregate
+
+    rng = np.random.default_rng(13)
+    n, d, d_out = 5, 4, 3
+    E = rng.normal(size=(n, d))
+    w1 = rng.normal(size=(d, d_out))
+    w2 = rng.normal(size=(d, d_out))
+    raw_edges = [(0, 1, 0.6), (0, 2, 0.4), (2, 1, 1.0), (3, 4, 1.0)]
+    edges = spark.createDataFrame(raw_edges, "h long, t long, att double")
+    msgs = np.zeros_like(E)
+    for h, t, att in raw_edges:
+        msgs[h] += att * E[t]
+
+    def leaky(x):
+        return np.where(x > 0, x, 0.2 * x)
+
+    wants = {
+        "bi-interaction": leaky((E + msgs) @ w1) + leaky((E * msgs) @ w2),
+        "gcn": leaky((E + msgs) @ w1),
+        "graphsage": leaky(E @ w1 + msgs @ w2),
+    }
+    for agg, want in wants.items():
+        got = kgat_aggregate(
+            spark, edges, E, w1, None if agg == "gcn" else w2, aggregator=agg
+        ).collect()
+        assert len(got) == n * d_out, agg
+        for row in got:
+            assert row["e_out"] == pytest.approx(want[row["h"], row["j"]]), (agg, row)
+    with pytest.raises(ValueError):
+        kgat_aggregate(spark, edges, E, w1, w2, aggregator="mean")
+
+
+def test_kgat_cf_embedding_gcn_variant(spark):
+    """cf_embedding threads the aggregator choice through every stacked
+    layer (KGAT-pytorch/model/KGAT.py:17-32 user-facing option)."""
+    from kgp.stages.graph import kgat_cf_embedding
+
+    rng = np.random.default_rng(19)
+    n, d, d_out = 4, 3, 2
+    E = rng.normal(size=(n, d))
+    w1 = rng.normal(size=(d, d_out))
+    w2 = rng.normal(size=(d, d_out))  # ignored by gcn
+    raw_edges = [(0, 1, 1.0), (2, 3, 0.5), (2, 0, 0.5)]
+    edges = spark.createDataFrame(raw_edges, "h long, t long, att double")
+    msgs = np.zeros_like(E)
+    for h, t, att in raw_edges:
+        msgs[h] += att * E[t]
+    out = np.where((E + msgs) @ w1 > 0, (E + msgs) @ w1, 0.2 * ((E + msgs) @ w1))
+    nrm = np.maximum(np.sqrt((out**2).sum(axis=1)), 1e-12)
+    want = np.concatenate([E, out / nrm[:, None]], axis=1)
+    got = kgat_cf_embedding(spark, edges, E, [(w1, w2)], aggregator="gcn").collect()
+    assert len(got) == n * (d + d_out)
+    for row in got:
+        assert row["val"] == pytest.approx(want[row["h"], row["k"]])
+
+
+def test_kgat_cf_loss_matches_numpy(spark):
+    """calc_cf_loss (KGAT-pytorch/model/KGAT.py:195-219, Eq 12-13) vs
+    direct numpy over a long-form embedding; duplicate batch rows (the
+    reference samples with replacement) must count twice in the means."""
+    from kgp.stages.graph import kgat_cf_loss
+
+    rng = np.random.default_rng(17)
+    n, dk = 6, 5
+    M = rng.normal(size=(n, dk))
+    all_embed = spark.createDataFrame(
+        [(h, k, float(M[h, k])) for h in range(n) for k in range(dk)],
+        "h long, k int, val double",
+    )
+    rows = [(0, 1, 2), (3, 4, 5), (2, 0, 4), (0, 1, 2)]  # note the duplicate
+    batch = spark.createDataFrame(rows, "user long, pos_item long, neg_item long")
+    lam = 1e-4
+    sp = [
+        float(np.logaddexp(0.0, M[u] @ M[ng] - M[u] @ M[p])) for u, p, ng in rows
+    ]
+    l2 = [
+        float((M[u] @ M[u] + M[p] @ M[p] + M[ng] @ M[ng]) / 2) for u, p, ng in rows
+    ]
+    cf, l2m = np.mean(sp), np.mean(l2)
+    out = kgat_cf_loss(all_embed, batch, l2_lambda=lam).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n"] == 4
+    assert row["cf_loss"] == pytest.approx(cf, abs=2e-6)
+    assert row["l2_loss"] == pytest.approx(l2m, abs=2e-6)
+    assert row["loss"] == pytest.approx(cf + lam * l2m, abs=2e-6)
+
+
 def test_transr_scores_and_loss_match_numpy(spark):
     """calc_kg_loss (KGAT-pytorch/model/KGAT.py:132-162, Eq 1-2) vs a
     direct numpy evaluation of the same batch."""
