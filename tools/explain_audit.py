@@ -39,6 +39,9 @@ AUDIT = [
     "tpch_q1",
     "top_revenue",
     "kgat_aggregate",
+    "kgat_aggregate_gcn",
+    "kgat_aggregate_graphsage",
+    "kgat_cf_loss",
     "kgat_cf_embedding",
     "kgat_cf_score",
     "kgat_transr_scores",
