@@ -255,13 +255,17 @@ FROM marked GROUP BY user_id
 def edge_softmax_sql() -> str:
     """Per-destination softmax over a deterministic lineitem-derived edge
     table (h=l_suppkey, t=l_partkey, score=l_discount); att rounded to
-    12 dp on both engines to absorb sum-order float jitter."""
+    12 dp on both engines to absorb sum-order float jitter. Max-shifted
+    like the Spark op (kgp.stages.graph.edge_softmax) — exact where the
+    naive form is finite."""
     return """
 WITH e AS (SELECT DISTINCT l_suppkey AS h, l_partkey AS t, l_discount AS score FROM lineitem),
- z AS (SELECT t, sum(exp(score)) AS z FROM e GROUP BY t)
+ mx AS (SELECT t, max(score) AS mx FROM e GROUP BY t),
+ z AS (SELECT e.t, sum(exp(e.score - mx.mx)) AS z
+       FROM e JOIN mx ON e.t = mx.t GROUP BY e.t)
 SELECT CAST(e.h AS BIGINT) AS h, CAST(e.t AS BIGINT) AS t,
-       round(exp(e.score) / z.z, 12) AS att
-FROM e JOIN z ON e.t = z.t
+       round(exp(e.score - mx.mx) / z.z, 12) AS att
+FROM e JOIN mx ON e.t = mx.t JOIN z ON e.t = z.t
 """
 
 
@@ -596,10 +600,12 @@ WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
             JOIN rel ON rel.id = edges.r
             JOIN w ON w.id = edges.r,
             LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
- z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t)
+ mx AS (SELECT t, max(score) AS mx FROM scored GROUP BY t),
+ z AS (SELECT s.t, sum(exp(s.score - mx.mx)) AS z
+       FROM scored s JOIN mx ON s.t = mx.t GROUP BY s.t)
 SELECT CAST(s.h AS BIGINT) AS h, CAST(s.r AS BIGINT) AS r, CAST(s.t AS BIGINT) AS t,
-       round(s.score, 9) AS score, round(exp(s.score) / z.z, 9) AS att
-FROM scored s JOIN z ON s.t = z.t
+       round(s.score, 9) AS score, round(exp(s.score - mx.mx) / z.z, 9) AS att
+FROM scored s JOIN mx ON s.t = mx.t JOIN z ON s.t = z.t
 """
 
 
@@ -680,9 +686,11 @@ WITH ent AS (SELECT col0 AS id, col1 AS e FROM (VALUES
             JOIN rel ON rel.id = edges.r
             JOIN w ON w.id = edges.r,
             LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
- z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t),
- att AS (SELECT s.h, s.t, exp(s.score) / z.z AS att
-         FROM scored s JOIN z ON s.t = z.t),
+ mx AS (SELECT t, max(score) AS mx FROM scored GROUP BY t),
+ z AS (SELECT s.t, sum(exp(s.score - mx.mx)) AS z
+       FROM scored s JOIN mx ON s.t = mx.t GROUP BY s.t),
+ att AS (SELECT s.h, s.t, exp(s.score - mx.mx) / z.z AS att
+         FROM scored s JOIN mx ON s.t = mx.t JOIN z ON s.t = z.t),
  msg AS (SELECT a.h, u.i, sum(u.v * a.att) AS n_val
          FROM att a JOIN ent et ON et.id = a.t,
               LATERAL (SELECT unnest(et.e) AS v,
@@ -757,9 +765,11 @@ def _cf_embedding_with_clause(
             JOIN rel ON rel.id = edges.r
             JOIN w ON w.id = edges.r,
             LATERAL (SELECT eh_t.e AS eh, et_t.e AS et) _x),
- z AS (SELECT t, sum(exp(score)) AS z FROM scored GROUP BY t),
- att AS (SELECT s.h, s.t, exp(s.score) / z.z AS att
-         FROM scored s JOIN z ON s.t = z.t),
+ mx AS (SELECT t, max(score) AS mx FROM scored GROUP BY t),
+ z AS (SELECT s.t, sum(exp(s.score - mx.mx)) AS z
+       FROM scored s JOIN mx ON s.t = mx.t GROUP BY s.t),
+ att AS (SELECT s.h, s.t, exp(s.score - mx.mx) / z.z AS att
+         FROM scored s JOIN mx ON s.t = mx.t JOIN z ON s.t = z.t),
  emb0 AS (SELECT id AS h, unnest(generate_series(1, {d0})) AS i,
                  unnest(e) AS val
           FROM ent)"""

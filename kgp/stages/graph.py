@@ -202,10 +202,23 @@ def mask_train_interactions(scores: DataFrame, train: DataFrame, keys=("user", "
 def edge_softmax(edges_scored: DataFrame) -> DataFrame:
     """A10: per-destination softmax normalization of edge scores
     (KGAT-pytorch/utility/helper.py:11-23) — groupBy+join form (skew-safe
-    vs a partition-wide window)."""
-    denom = edges_scored.groupBy("t").agg(F.sum(F.exp("score")).alias("z"))
-    return edges_scored.join(denom, "t").withColumn(
-        "att", F.exp("score") / F.col("z")
+    vs a partition-wide window), in the max-shifted numerically stable
+    form: ``att = exp(s - max_t(s)) / sum_t exp(s - max_t(s))``. The
+    reference exponentiates raw scores (helper.py:17), which overflows
+    float64 past s ≈ 709 — mathematically the shift is exact (the max
+    cancels), so outputs are identical where the naive form is finite,
+    and remain finite where it is not. Both grouped aggregates and both
+    joins key on ``t``: after the first shuffle everything is
+    co-partitioned, so the stability costs no extra exchange."""
+    mx = edges_scored.groupBy("t").agg(F.max("score").alias("_mx"))
+    shifted = edges_scored.join(mx, "t")
+    denom = shifted.groupBy("t").agg(
+        F.sum(F.exp(F.col("score") - F.col("_mx"))).alias("z")
+    )
+    return (
+        shifted.join(denom, "t")
+        .withColumn("att", F.exp(F.col("score") - F.col("_mx")) / F.col("z"))
+        .drop("_mx")
     )
 
 

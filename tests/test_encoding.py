@@ -106,6 +106,27 @@ def test_kgat_attention(spark):
         assert sum(atts) == pytest.approx(1.0)
 
 
+def test_edge_softmax_large_scores_stable(spark):
+    """Max-shifted softmax: raw exp overflows float64 past ~709 (the
+    reference helper.py:11-23 form); the shifted form must stay finite
+    and exact."""
+    import math
+
+    from kgp.stages.graph import edge_softmax
+
+    edges = spark.createDataFrame(
+        [(0, 7, 1000.0), (1, 7, 999.0), (2, 7, -1000.0), (3, 8, 800.0)],
+        "h long, t long, score double",
+    )
+    rows = {r["h"]: r["att"] for r in edge_softmax(edges).collect()}
+    assert all(math.isfinite(v) for v in rows.values())
+    # exact softmax of [1000, 999, -1000] via the same shift
+    z = 1.0 + math.exp(-1.0) + math.exp(-2000.0)
+    assert rows[0] == pytest.approx(1.0 / z)
+    assert rows[1] == pytest.approx(math.exp(-1.0) / z)
+    assert rows[3] == pytest.approx(1.0)
+
+
 def test_dedup_within_group_and_mask(spark):
     from kgp.ops.dedup import dedup_within_group
     from kgp.stages.graph import mask_train_interactions
