@@ -674,7 +674,7 @@ def _q_loss_kg_transr(spark, sf_dir):
 # S8 Excel dict / J9 negative sampling / W5 early stopping / F8 losses
 # ---------------------------------------------------------------------------
 
-_NEG_ATTEMPTS, _NEG_SEED = 12, 42
+_NEG_ATTEMPTS, _NEG_SEED, _NEG_SPLIT_MOD = 12, 42, 5
 _ES_EPOCHS, _ES_STEPS = 24, 3
 _FOCAL_GAMMA, _DICE_SMOOTH = 2.0, 1e-4
 
@@ -873,17 +873,11 @@ def _q_encode_markers(spark, sf_dir):
 _CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD = 20, 7, 97
 
 
-def _q_kgat_cf_eval(spark, sf_dir):
-    """Full-ranking CF evaluation (KGAT-pytorch/utility/metrics.py:121-146
-    test procedure): for each eval user, score the FULL item catalog with
-    a deterministic surrogate scorer, mask train interactions (J7
-    left_anti — the reference zeroes them, metrics.py:126-130), rank all
-    remaining items per user (W3), and report per-user P/R/NDCG@k against
-    the held-out test positives (A11). The train/test split and the score
-    table are md5-derived so the DuckDB twin reproduces them exactly."""
-    from pyspark.sql.window import Window
-
-    from kgp.metrics import ranking_metrics
+def _cf_eval_masked(spark, sf_dir):
+    """Shared setup of the CF-eval queries: deterministic md5-derived
+    train/test split + surrogate score table over eval users x full
+    catalog, train interactions masked (J7 left_anti — the reference
+    zeroes them, metrics.py:126-130). -> (masked scores, truth)."""
     from kgp.stages.graph import mask_train_interactions
     from kgp.stages.training import _h15
 
@@ -905,10 +899,12 @@ def _q_kgat_cf_eval(spark, sf_dir):
             / F.lit(float(2**60)),
         )
     )
-    masked = mask_train_interactions(scores, train)
-    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
-    ranked = masked.withColumn("rank", F.row_number().over(w))
-    truth = test.join(users, "user")
+    return mask_train_interactions(scores, train), test.join(users, "user")
+
+
+def _cf_eval_out(ranked, truth):
+    from kgp.metrics import ranking_metrics
+
     out = ranking_metrics(ranked, truth, k=_CF_EVAL_K)
     return out.select(
         "user",
@@ -920,13 +916,77 @@ def _q_kgat_cf_eval(spark, sf_dir):
     )
 
 
+def _q_kgat_cf_eval(spark, sf_dir):
+    """Full-ranking CF evaluation (KGAT-pytorch/utility/metrics.py:121-146
+    test procedure): for each eval user, score the FULL item catalog with
+    a deterministic surrogate scorer, mask train interactions (J7), rank
+    all remaining items per user (W3), and report per-user P/R/NDCG@k
+    against the held-out test positives (A11). The train/test split and
+    the score table are md5-derived so the DuckDB twin reproduces them
+    exactly. Reference semantics is the dense cf_scores(n_users, n_items)
+    matrix (KGAT.py:179-192); see _q_kgat_cf_eval_topk for the
+    catalog-scale variant that never rank-materializes the full matrix."""
+    from pyspark.sql.window import Window
+
+    masked, truth = _cf_eval_masked(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    ranked = masked.withColumn("rank", F.row_number().over(w))
+    return _cf_eval_out(ranked, truth)
+
+
+_CF_EVAL_SALTS = 8
+
+
+def _q_kgat_cf_eval_topk(spark, sf_dir):
+    """Scale-safe CF evaluation (VERDICT r4 item 7): identical metrics@k
+    to _q_kgat_cf_eval without materializing the per-user full-catalog
+    rank. Two-phase salted top-k: phase 1 keeps the top k of each
+    (user, item-hash-salt) shard — every window partition is
+    catalog/S-sized and uniform; phase 2 ranks only the surviving
+    S*k rows per user. The (desc score, asc item) tie-break is total, so
+    the top-k set and its ranks are identical to the full rank — the two
+    queries are certified against the SAME DuckDB oracle. At 100 TB the
+    full variant's per-user window holds the whole catalog in one task;
+    this one bounds task state at k * catalog/S, with S sized to taste.
+    Only items at rank <= k contribute to P/R/NDCG@k
+    (KGAT-pytorch/utility/metrics.py:121-146 computes on the top-k
+    slice), so discarding the tail below phase-1's per-shard rank k
+    cannot change the output."""
+    from pyspark.sql.window import Window
+
+    masked, truth = _cf_eval_masked(spark, sf_dir)
+    order = [F.desc("score"), F.asc("item")]
+    w1 = Window.partitionBy("user", "_salt").orderBy(*order)
+    survivors = (
+        masked.withColumn("_salt", F.pmod(F.xxhash64("item"), F.lit(_CF_EVAL_SALTS)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= _CF_EVAL_K)
+        .drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy("user").orderBy(*order)
+    ranked = survivors.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= _CF_EVAL_K
+    )
+    return _cf_eval_out(ranked, truth)
+
+
 def _q_neg_sample(spark, sf_dir):
     """J9: bounded-rejection negative sampling (explode -> anti-join ->
-    first surviving attempt) over the orders x lineitem interactions."""
-    from kgp.stages.training import negative_sample_items
+    first surviving attempt) over the md5-derived TRAIN split of the
+    orders x lineitem interactions, with the candidate modulus taken
+    from the FULL item universe (``universe=`` — the reference's
+    ``self.n_items``, loader_base.py:71-75): negatives can land on
+    items unseen in the split, and rejection tests train positives
+    only (loader_kgat.py:191-202)."""
+    from kgp.stages.training import _h15, negative_sample_items
 
+    pos = _cf_interactions(spark, sf_dir)
+    train = pos.where(
+        F.pmod(_h15(F.lit("negsplit"), F.col("user"), F.col("item")), _NEG_SPLIT_MOD)
+        < _NEG_SPLIT_MOD - 1
+    )
     out = negative_sample_items(
-        _cf_interactions(spark, sf_dir), attempts=_NEG_ATTEMPTS, seed=_NEG_SEED
+        train, attempts=_NEG_ATTEMPTS, seed=_NEG_SEED, universe=pos
     )
     return out.select(
         "user", "pos_item", "neg_item", F.col("attempt").cast("long").alias("attempt")
@@ -1195,62 +1255,15 @@ def _q_top_revenue(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is the coverage-rotation policy (README "Correctness
+    rotation"): the driver's per-round record caps at 50 entries taken in
+    iteration order, so entries are ranked by certification staleness —
+    (1) never/least-recently driver-certified, (2) code changed this
+    round, (3) stable-and-recently-green — and the tail holds queries
+    whose code is unchanged since their last green driver row."""
     return {
-        # KG construction pipeline (SURVEY.md §2 A2/W1, F1/F2, J10, F4, F5/A14,
-        # J1-J3/F6/W2/P14, triples, P16/P17/U1/J8)
-        "kg_doc_assembly": _q_doc_assembly,
-        "kg_mentions": _q_mentions,
-        "kg_mentions_biaffine": _q_mentions_biaffine,
-        "kg_mentions_subtok": _q_mentions_subtok,
-        "metric_span_prf": _q_metric_span_prf,
-        "metric_ann_recall": _q_metric_ann_recall,
-        "metric_el_micro_prf": _q_metric_el_micro_prf,
-        "metric_frame_acc": _q_metric_frame_acc,
-        "metric_re_prior_acc": _q_metric_re_prior_acc,
-        "kg_relations": _q_relations,
-        "kg_clusters": _q_clusters,
-        "kg_links": _q_links,
-        "el_threshold_sweep": _q_el_sweep,
-        "kg_triples": _q_triples,
-        "kg_triples_streaming": _q_triples_streaming,
-        "kg_edges": _q_edges,
-        "kg_re_pairs": _q_re_pairs,
-        "kg_coref_pairs": _q_coref_pairs,
-        "kg_kgat_edges": _q_kgat_edges,
-        "kgat_attention": _q_kgat_attention,
-        "kgat_aggregate": _q_kgat_aggregate,
-        "kgat_aggregate_gcn": _q_kgat_aggregate_gcn,
-        "kgat_aggregate_graphsage": _q_kgat_aggregate_graphsage,
-        "kgat_cf_embedding": _q_kgat_cf_embedding,
-        "kgat_cf_score": _q_kgat_cf_score,
-        "kgat_cf_loss": _q_kgat_cf_loss,
-        "kgat_transr_scores": _q_transr_scores,
-        "loss_kg_transr": _q_loss_kg_transr,
-        # reference-format readers (S1-S7)
-        "read_semeval": _q_read_semeval,
-        "read_mrc": _q_read_mrc,
-        "read_ccks": _q_read_ccks,
-        "read_el_tsv": _q_read_el_tsv,
-        "read_cdn": _q_read_cdn,
-        "read_kg_triples": _q_read_kg_triples,
-        "read_cf_adjacency": _q_read_cf_adjacency,
-        "read_id_remap": _q_read_id_remap,
-        "read_excel_dict": _q_read_excel_dict,
-        # training-support ops (J9, W5, F8)
-        "kgat_neg_sample": _q_neg_sample,
-        "kgat_cf_eval": _q_kgat_cf_eval,
-        "encode_markers": _q_encode_markers,
-        "dedup_within_group": _q_dedup_within_group,
-        "cf_user_items": _q_cf_user_items,
-        "metric_triple_prf": _q_metric_triple_prf,
-        "train_early_stop": _q_early_stop,
-        "loss_focal": _q_loss_focal,
-        "loss_dice": _q_loss_dice,
-        "loss_bpr": _q_loss_bpr,
-        "loss_crf_nll": _q_loss_crf_nll,
-        # training-data ops
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # --- (1) never / least-recently certified (r5: last green r1-r3)
+        "events_sessionize_streaming": _q_sessionize_streaming,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1263,10 +1276,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
         "events_sessionize": _q_sessionize,
-        "events_sessionize_streaming": _q_sessionize_streaming,
         "graph_edge_softmax": _q_edge_softmax,
         "tpch_q1": _q_tpch_q1,
         "top_revenue": _q_top_revenue,
+        # --- (2) code changed this round (stable softmax, universe
+        # negative sampling, top-k eval, reuse-hook pins, xlsx rels)
+        "kgat_neg_sample": _q_neg_sample,
+        "kgat_cf_eval": _q_kgat_cf_eval,
+        "kgat_cf_eval_topk": _q_kgat_cf_eval_topk,
+        "kgat_attention": _q_kgat_attention,
+        "kgat_aggregate": _q_kgat_aggregate,
+        "kgat_aggregate_gcn": _q_kgat_aggregate_gcn,
+        "kgat_aggregate_graphsage": _q_kgat_aggregate_graphsage,
+        "kgat_cf_embedding": _q_kgat_cf_embedding,
+        "kgat_cf_score": _q_kgat_cf_score,
+        "kgat_cf_loss": _q_kgat_cf_loss,
+        "kg_edges": _q_edges,
+        "kg_kgat_edges": _q_kgat_edges,
+        "kg_triples": _q_triples,
+        "kg_triples_streaming": _q_triples_streaming,
+        "read_excel_dict": _q_read_excel_dict,
+        # --- (3) stable, green in r4
+        "kg_doc_assembly": _q_doc_assembly,
+        "kg_mentions": _q_mentions,
+        "kg_mentions_biaffine": _q_mentions_biaffine,
+        "kg_mentions_subtok": _q_mentions_subtok,
+        "metric_span_prf": _q_metric_span_prf,
+        "metric_ann_recall": _q_metric_ann_recall,
+        "metric_el_micro_prf": _q_metric_el_micro_prf,
+        "kg_relations": _q_relations,
+        "kg_clusters": _q_clusters,
+        "kg_links": _q_links,
+        "el_threshold_sweep": _q_el_sweep,
+        "kg_re_pairs": _q_re_pairs,
+        "kg_coref_pairs": _q_coref_pairs,
+        "kgat_transr_scores": _q_transr_scores,
+        "loss_kg_transr": _q_loss_kg_transr,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_within_group": _q_dedup_within_group,
+        "cf_user_items": _q_cf_user_items,
+        # --- tail: unchanged since their r4 green rows (rotated out if
+        # the driver record caps at 50)
+        "metric_frame_acc": _q_metric_frame_acc,
+        "metric_re_prior_acc": _q_metric_re_prior_acc,
+        "metric_triple_prf": _q_metric_triple_prf,
+        "encode_markers": _q_encode_markers,
+        "train_early_stop": _q_early_stop,
+        "loss_focal": _q_loss_focal,
+        "loss_dice": _q_loss_dice,
+        "loss_bpr": _q_loss_bpr,
+        "loss_crf_nll": _q_loss_crf_nll,
+        "read_semeval": _q_read_semeval,
+        "read_mrc": _q_read_mrc,
+        "read_ccks": _q_read_ccks,
+        "read_el_tsv": _q_read_el_tsv,
+        "read_cdn": _q_read_cdn,
+        "read_kg_triples": _q_read_kg_triples,
+        "read_cf_adjacency": _q_read_cf_adjacency,
+        "read_id_remap": _q_read_id_remap,
     }
 
 
@@ -1406,8 +1474,15 @@ def oracle_sql() -> dict[str, str]:
         "metric_triple_prf": oracles.metric_triple_prf_sql(g("gold_triples")),
         "read_id_remap": oracles.read_id_remap_sql(rp["entity_remap.txt"]),
         "read_excel_dict": oracles.read_excel_dict_sql(rp["icd_dict.xlsx"] + ".csv"),
-        "kgat_neg_sample": oracles.neg_sample_items_sql(_NEG_ATTEMPTS, _NEG_SEED),
+        "kgat_neg_sample": oracles.neg_sample_items_sql(
+            _NEG_ATTEMPTS, _NEG_SEED, split_mod=_NEG_SPLIT_MOD
+        ),
         "kgat_cf_eval": oracles.kgat_cf_eval_sql(
+            _CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD
+        ),
+        # the top-k variant is DEFINED as metric-identical to the full
+        # rank (total tie-break order) — same oracle certifies both
+        "kgat_cf_eval_topk": oracles.kgat_cf_eval_sql(
             _CF_EVAL_K, _CF_EVAL_SEED, _CF_EVAL_USER_MOD
         ),
         "train_early_stop": oracles.early_stopping_sql(_ES_EPOCHS, _ES_STEPS),

@@ -164,12 +164,12 @@ class LineageLog:
             writer = df.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col(bucket_on)), F.lit(self.n_buckets)).cast("int")
             ).where(F.col("bucket").isin([int(b) for b in dirty]))
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                writer.write.mode("overwrite").partitionBy("bucket").parquet(out)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # per-write override (not a session conf set/restore): stages
+            # may run concurrently from the pipeline's branch threads, and
+            # a global conf mutation would race across them
+            writer.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bucket").parquet(out)
             counts = {
                 int(r["bucket"]): int(r["n"])
                 for r in spark.read.parquet(out)

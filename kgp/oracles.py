@@ -1195,24 +1195,40 @@ pos AS (
 )"""
 
 
-def neg_sample_items_sql(attempts: int, seed: int) -> str:
+def neg_sample_items_sql(attempts: int, seed: int, split_mod: int | None = None) -> str:
     """Twin of kgp.stages.training.negative_sample_items over the
     orders x lineitem interaction table (same md5-derived candidate
-    stream, same bounded-rejection anti-join)."""
+    stream, same bounded-rejection anti-join).
+
+    With ``split_mod``, sampling runs over the md5-derived train split
+    (hash % split_mod < split_mod - 1, i.e. the last residue is held
+    out) while the candidate modulus stays the FULL universe's
+    max(item)+1 — the reference's ``self.n_items`` semantics
+    (loader_base.py:71-75): negatives can hit items unseen in the train
+    split, and rejection tests train positives only."""
+    if split_mod is None:
+        train = "pos"
+        train_cte = ""
+    else:
+        train = "train"
+        train_cte = f""",
+ train AS (SELECT u, item FROM pos
+           WHERE CAST(('0x' || substr(md5(concat_ws('|', 'negsplit', u, item)), 1, 15))
+                 AS UBIGINT) % {split_mod} < {split_mod - 1})"""
     return f"""
-WITH {_CF_POS},
+WITH {_CF_POS}{train_cte},
  st AS (SELECT max(item) + 1 AS n_items FROM pos),
  props AS (
    SELECT u, item AS pos_item, CAST(j AS INT) AS attempt,
           CAST(CAST(('0x' || substr(md5(concat_ws('|', '{seed}', u, item, j)), 1, 15))
                AS UBIGINT) % n_items AS BIGINT) AS neg_item
-   FROM pos, st, generate_series(1, {attempts}) AS g(j)
+   FROM {train}, st, generate_series(1, {attempts}) AS g(j)
  ),
  surv AS (
    SELECT p.u, p.pos_item, p.neg_item, p.attempt,
           row_number() OVER (PARTITION BY p.u, p.pos_item ORDER BY p.attempt) AS rn
    FROM props p
-   ANTI JOIN pos ON pos.u = p.u AND pos.item = p.neg_item
+   ANTI JOIN {train} t ON t.u = p.u AND t.item = p.neg_item
  )
 SELECT u AS "user", pos_item, neg_item, CAST(attempt AS BIGINT) AS attempt
 FROM surv WHERE rn = 1

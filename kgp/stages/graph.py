@@ -30,7 +30,9 @@ from pyspark.sql.window import Window
 EDGE_SCHEMA = "h long, r int, t long"
 
 
-def _dense_id_dicts(triples: DataFrame) -> tuple[DataFrame, DataFrame, int, int]:
+def _dense_id_dicts(
+    triples: DataFrame, reuse=None
+) -> tuple[DataFrame, DataFrame, int, int]:
     """BOTH id dictionaries (entities sorted by key -> 0..n_ent-1,
     relations sorted by key -> 0..n_rel-1) in ONE numbering job.
 
@@ -50,11 +52,14 @@ def _dense_id_dicts(triples: DataFrame) -> tuple[DataFrame, DataFrame, int, int]
     3. number partition-locally: id = offset[kind, pid] + row_number
        (within (kind, pid) ordered by key) - 1.
 
-    The numbered dict is EAGERLY checkpointed: it feeds three broadcast
-    subtrees of the fwd query (subj join, obj join, pred join), and only
-    an already-materialized checkpoint guarantees the numbering runs once.
+    The numbered dict is EAGERLY pinned (reuse hook — localCheckpoint or
+    lineage stage table): it feeds three broadcast subtrees of the fwd
+    query (subj join, obj join, pred join), and only an
+    already-materialized pin guarantees the numbering runs once.
     Output ids are byte-identical to numbering each dictionary separately.
     """
+    if reuse is None:
+        from kgp.reuse import local_reuse as reuse
     spark = triples.sparkSession
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = (
@@ -78,14 +83,14 @@ def _dense_id_dicts(triples: DataFrame) -> tuple[DataFrame, DataFrame, int, int]
         totals[kind] += counts[(kind, pid)]
     off = spark.createDataFrame(rows, "kind string, _pid int, _off long")
     w = Window.partitionBy("kind", "_pid").orderBy("key")
-    numbered = (
+    numbered = reuse(
         keyed.join(F.broadcast(off), ["kind", "_pid"])
         # int keeps the historical schema (ids are dictionary-bounded, like
         # the reference's remap files); switch to long if a dictionary ever
         # nears 2^31 entries
         .withColumn("idx", (F.col("_off") + F.row_number().over(w) - 1).cast("int"))
-        .select("kind", "key", "idx")
-        .localCheckpoint()
+        .select("kind", "key", "idx"),
+        "graph_ids",
     )
     ents = numbered.where(F.col("kind") == "e").select(
         F.col("key").alias("entity_id"), F.col("idx").alias("ent_int")
@@ -96,24 +101,31 @@ def _dense_id_dicts(triples: DataFrame) -> tuple[DataFrame, DataFrame, int, int]
     return ents, rels, totals["e"], totals["r"]
 
 
-def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def materialize_graph(
+    triples: DataFrame, reuse=None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """-> (edges, entity_dict, relation_dict).
 
     edges: forward (h, r, t) distinct + reverse (t, r + n_rel, h) —
     loader_kgat.py:86-91 semantics over OUR extracted triples.
+
+    ``reuse`` is the multi-consumer pin hook (kgp.reuse): the deduped
+    forward edge set feeds both subtrees of the fwd∪rev union. Default
+    is an eager localCheckpoint; the cluster profile persists it as a
+    lineage stage table instead.
     """
-    ents, rels, _n_ent, n_rel = _dense_id_dicts(triples)
-    fwd = (
+    if reuse is None:
+        from kgp.reuse import local_reuse as reuse
+    ents, rels, _n_ent, n_rel = _dense_id_dicts(triples, reuse=reuse)
+    fwd = reuse(
         triples.join(F.broadcast(ents.withColumnRenamed("entity_id", "subj")), "subj")
         .withColumnRenamed("ent_int", "h")
         .join(F.broadcast(ents.withColumnRenamed("entity_id", "obj")), "obj")
         .withColumnRenamed("ent_int", "t")
         .join(F.broadcast(rels), "pred")
         .select("h", F.col("rel_int").alias("r"), "t")
-        .dropDuplicates(["h", "r", "t"])  # A12
-        # consumed twice INSIDE the union query (forward set + reverse
-        # projection): eager, or both subtrees recompute it in one job
-        .localCheckpoint()
+        .dropDuplicates(["h", "r", "t"]),  # A12
+        "graph_fwd",
     )
     rev = fwd.select(
         F.col("t").alias("h"), (F.col("r") + F.lit(n_rel)).alias("r"), F.col("h").alias("t")
@@ -121,15 +133,17 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
     return fwd.unionByName(rev), ents, rels
 
 
-def kgat_construct(kg: DataFrame, cf: DataFrame) -> dict:
+def kgat_construct(kg: DataFrame, cf: DataFrame, reuse=None) -> dict:
     """Exact loader_kgat.py:84-148 dataflow over (h, r, t) + (user, item).
 
     Returns dict of DataFrames: edges, adjacency, stats (single row).
     """
+    if reuse is None:
+        from kgp.reuse import local_reuse as reuse
     # deduped kg feeds the stats agg AND fwd/rev below: pin it so the
     # dedup shuffle runs once, and batch both extent statistics (:95-98
     # max-id convention) into ONE driver job instead of two first() jobs
-    kg = kg.dropDuplicates(["h", "r", "t"]).localCheckpoint()  # :80
+    kg = reuse(kg.dropDuplicates(["h", "r", "t"]), "kgat_kg")  # :80
     stats0 = kg.agg(
         (F.max("r") + 1).alias("n_rel"),
         (F.greatest(F.max("h"), F.max("t")) + 1).alias("n_ent"),
@@ -389,6 +403,7 @@ def kgat_cf_embedding(
     layers,
     alpha: float = 0.2,
     aggregator: str = "bi-interaction",
+    reuse=None,
 ) -> DataFrame:
     """The reference's full ``cf_embedding`` (KGAT-pytorch/model/
     KGAT.py:164-176, Equation 11): stack the chosen aggregator
@@ -403,13 +418,20 @@ def kgat_cf_embedding(
     twin of ``torch.cat(all_embed, dim=1)`` — rows ordered only by key.
 
     Each layer's output feeds three consumers (messages, base, final
-    concat); it is pinned with an eager localCheckpoint so the lineage
-    does not re-execute the previous layers exponentially. On a cluster
-    the same reuse points become lineage stage tables
-    (kgp/stages/runner.py), exactly like the dedup ops' resumable path.
+    concat); it is pinned through the ``reuse`` hook (kgp.reuse) so the
+    lineage does not re-execute the previous layers exponentially:
+    eager localCheckpoint in the single-JVM default, a LineageLog stage
+    table per layer under the cluster profile (KGP_REUSE=table or an
+    explicit ``reuse=lineage_reuse(...)``) — exactly like the dedup ops'
+    resumable path, and free of the block-manager residency that drove
+    the sf16 driver-heap finding (SCALING.md).
     L2 normalization (torch.functional.normalize eps=1e-12) is a per-h
     aggregate + an equi-join back — no windows, no driver round-trip.
     """
+    if reuse is None:
+        from kgp.reuse import default_reuse
+
+        reuse = default_reuse(spark, fingerprint="cf_embedding")
     emb_rows = [
         (i, j, float(x)) for i, row in enumerate(ent_emb) for j, x in enumerate(row)
     ]
@@ -417,7 +439,7 @@ def kgat_cf_embedding(
     parts = [ego.select("id", F.col("i").cast("long").alias("k"), "val")]
     offset = len(ent_emb[0])
     cur = ego
-    for w1, w2 in layers:
+    for depth, (w1, w2) in enumerate(layers, start=1):
         w_rows = [
             (i, j, float(w1[i][j]), float(w2[i][j]))
             for i in range(len(w1))
@@ -428,14 +450,13 @@ def kgat_cf_embedding(
         nrm = out.groupBy("h").agg(
             F.greatest(F.sqrt(F.sum(F.col("e_out") * F.col("e_out"))), F.lit(1e-12)).alias("nrm")
         )
-        cur = (
-            out.join(nrm, "h")
-            .select(
+        cur = reuse(
+            out.join(nrm, "h").select(
                 F.col("h").alias("id"),
                 F.col("j").cast("int").alias("i"),
                 (F.col("e_out") / F.col("nrm")).alias("val"),
-            )
-            .localCheckpoint()
+            ),
+            f"cf_layer_{depth}",
         )
         parts.append(
             cur.select("id", (F.col("i") + F.lit(offset)).cast("long").alias("k"), "val")

@@ -28,24 +28,22 @@ from kgp.stages.relations import classify_relations
 from kgp.stages.triples import assemble_triples
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint of a multi-consumer stage boundary.
+def _default_reuse(spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig):
+    """Profile-selected reuse hook for one pipeline run (kgp.reuse).
 
-    KGP_CKPT_SER=1 stores the checkpoint blocks SERIALIZED
-    (StorageLevel.MEMORY_AND_DISK with deserialized=false — compact
-    UnsafeRow bytes instead of row objects): the big boundaries (the
-    tagged corpus at sf16 is the driver-heap finding in SCALING.md)
-    shrink their block-manager residency, trading a copy on each consumer
-    read for less GC scan work and less memory-bandwidth pressure on a
-    shared socket. Default remains the JVM's deserialized level pending
-    the measured A/B (BENCH/BASELINE.md round 4)."""
+    Local profile (default): eager localCheckpoint per boundary.
+    Cluster profile (KGP_REUSE=table): LineageLog stage tables keyed by
+    the input+config fingerprint — executor-loss safe, resumable, zero
+    block-manager residency (the sf16 16 GB-driver-heap finding in
+    SCALING.md is exactly the local profile's block pins). The
+    fingerprint scan only runs under the table profile."""
     import os
 
-    if os.environ.get("KGP_CKPT_SER") == "1":
-        from pyspark import StorageLevel
+    from kgp.reuse import default_reuse, input_fingerprint
 
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    return df.localCheckpoint()
+    if os.environ.get("KGP_REUSE") == "table":
+        return default_reuse(spark, fingerprint=input_fingerprint(transcripts, cfg))
+    return default_reuse(spark)
 
 
 def _run_concurrently(spark: SparkSession, *thunks) -> list:
@@ -92,18 +90,23 @@ def run_pipeline(
     transcripts: DataFrame,
     model: PipelineModel,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    reuse=None,
 ) -> dict:
-    # Stage boundaries are materialized AND lineage-truncated
-    # (localCheckpoint): in production each is an Iceberg stage table write
-    # (lineage.run_stage), which truncates the plan for free; in-session,
-    # checkpointing keeps the logical plan of every downstream query small —
-    # with plain persist() the full pipeline tree is re-analyzed on every
-    # action and Catalyst planning time dominates execution.
+    # Stage boundaries are materialized AND lineage-truncated through the
+    # `reuse` hook (kgp.reuse): localCheckpoint in the single-JVM profile,
+    # LineageLog stage tables (the Iceberg overwritePartitions analogue)
+    # under KGP_REUSE=table — which truncates the plan the same way, adds
+    # fault tolerance + mid-run resume, and keeps the driver heap flat.
+    # Either way the materialization keeps the logical plan of every
+    # downstream query small — with plain persist() the full pipeline tree
+    # is re-analyzed on every action and Catalyst planning dominates.
     # Only multi-consumer outputs are checkpointed (tagged feeds 3
     # branches, clusters 2, triples is scanned 3x by materialize_graph),
     # and EAGERLY: consumers sit in one downstream query (some under
     # broadcast-exchange threads), and only an already-materialized
     # checkpoint guarantees the producer runs exactly once.
+    if reuse is None:
+        reuse = _default_reuse(spark, transcripts, cfg)
     documents = assemble_documents(transcripts, cfg)
     # tagger input is raw turns (narrow map, no shuffle): mentions are
     # keyed (conv_id, turn_idx), so document assembly is a sibling
@@ -117,7 +120,7 @@ def run_pipeline(
     # per consumer (observed in the event log as a second full
     # Scan>MapInPandas under a BroadcastExchange), so the one serial job
     # here buys single-execution of the most expensive stage.
-    tagged = _ckpt(tag_turns(spark, transcripts, model.surfaces, cfg))
+    tagged = reuse(tag_turns(spark, transcripts, model.surfaces, cfg), "tagged")
     mentions = mentions_from_tagged(tagged)
     turn_tokens = pair_turn_tokens(tagged)
 
@@ -131,11 +134,11 @@ def run_pipeline(
     # Both subtrees read only the already-materialized `tagged`, so no
     # producer can be re-run.
     def _relations_branch():
-        return _ckpt(classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg))
+        return reuse(classify_relations(re_pairs(mentions, cfg), turn_tokens, cfg), "relations")
 
     def _coref_branch():
         scored = score_coref_pairs(spark, coref_pairs(mentions, cfg), model.surface_groups, cfg)
-        return _ckpt(cluster_unionfind(mentions, positive_edges(scored, cfg), cfg))
+        return reuse(cluster_unionfind(mentions, positive_edges(scored, cfg), cfg), "clusters")
 
     def _alias_branch():
         # linking's dictionary side depends on the alias dim ALONE: build
@@ -153,8 +156,8 @@ def run_pipeline(
     links, candidates = link_clusters(
         cluster_surfaces(clusters, mentions), model.alias_dict, cfg, artifacts=alias_art
     )
-    triples = _ckpt(assemble_triples(relations, clusters, links))
-    edges, entity_dict, relation_dict = materialize_graph(triples)
+    triples = reuse(assemble_triples(relations, clusters, links), "triples")
+    edges, entity_dict, relation_dict = materialize_graph(triples, reuse=reuse)
     return {
         "documents": documents,
         "mentions": mentions,

@@ -15,11 +15,9 @@ config, so any input or config change invalidates downstream stages.
 
 from __future__ import annotations
 
-import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from kgp.config import DEFAULT_CONFIG, PipelineConfig
 from kgp.lineage import LineageLog
@@ -34,14 +32,9 @@ from kgp.stages.relations import classify_relations
 from kgp.stages.triples import assemble_triples
 
 
-def input_fingerprint(transcripts: DataFrame, cfg: PipelineConfig) -> str:
-    """Partitioning-independent content hash of the input + config."""
-    h = transcripts.select(
-        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),  # order-independent, no overflow
-        F.count("*").alias("n"),
-    ).first()
-    cfg_h = hashlib.md5(repr(cfg).encode()).hexdigest()[:12]
-    return f"{h['h']}:{h['n']}:{cfg_h}"
+# canonical definition lives in kgp.reuse (shared with run_pipeline's
+# KGP_REUSE=table profile); re-exported here for existing callers
+from kgp.reuse import input_fingerprint  # noqa: E402
 
 
 def run_pipeline_resumable(

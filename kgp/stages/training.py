@@ -44,6 +44,7 @@ def negative_sample_items(
     user_col: str = "user",
     item_col: str = "item",
     n_items: int | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """One negative item per positive (user, item) interaction.
 
@@ -54,16 +55,25 @@ def negative_sample_items(
     dropped — with attempts=12 and any realistic positives/items ratio
     the collision probability is (density)^12, i.e. never at scale).
 
-    ``n_items`` defaults to the data-derived max(item)+1 as a broadcast
-    1-row aggregate (no driver action). The reference's ``self.n_items``
-    is the FULL item universe (train+test, loader_base.py statistics); a
-    caller sampling over a train split should pass that universe size
-    explicitly, or candidates can never hit items unseen in the split —
-    a slight bias in the negative distribution.
+    The candidate modulus follows the reference's ``self.n_items`` — the
+    FULL item universe (train+test, loader_base.py:71-75 statistics),
+    not the split being sampled: pass ``n_items`` (an explicit size) or
+    ``universe`` (any DataFrame carrying ``item_col``; its max(item)+1
+    becomes the modulus via a broadcast 1-row aggregate, no driver
+    action). With neither, the modulus falls back to the data-derived
+    max over ``cf`` itself — correct only when ``cf`` IS the full
+    universe; a train-split caller that omits the universe can never
+    draw items unseen in the split, a bias the reference does not have.
+    Rejection tests membership in ``cf`` (the split's positives) alone,
+    exactly like the reference's ``train_user_dict`` check.
     """
     user, item = F.col(user_col), F.col(item_col)
     pos = cf.select(user.alias("user"), item.alias("item")).distinct()
-    if n_items is not None:
+    if universe is not None:
+        stats = universe.select(F.col(item_col).alias("item")).agg(
+            (F.max("item") + 1).alias("_n_items")
+        )
+    elif n_items is not None:
         stats = cf.sparkSession.range(1).select(F.lit(n_items).alias("_n_items"))
     else:
         stats = pos.agg((F.max("item") + 1).alias("_n_items"))

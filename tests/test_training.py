@@ -99,6 +99,40 @@ def test_negative_sample_items_matches_python_replay(spark):
         assert (r.user, r.neg_item) not in pos
 
 
+def test_negative_sample_items_universe_reaches_test_only_items(spark):
+    """Reference n_items semantics (loader_base.py:71-75): the candidate
+    modulus is the FULL item universe, so a train-split caller passing
+    ``universe=`` can draw negatives among items seen only in the test
+    split — which a split-derived modulus can never produce — and
+    rejection still tests train positives only."""
+    from kgp.stages.training import negative_sample_items
+
+    # train covers items 0..3 (user u misses item u, so the split-derived
+    # modulus leaves exactly one drawable negative); 4..9 exist only
+    # outside the split
+    train = spark.createDataFrame(
+        [(u, i) for u in range(4) for i in range(4) if i != u], "user long, item long"
+    )
+    universe = spark.createDataFrame([(9,)], "item long")  # max item = 9
+
+    split_only = negative_sample_items(train, attempts=12, seed=42).collect()
+    assert split_only and all(r.neg_item < 4 for r in split_only)
+
+    got = negative_sample_items(train, attempts=12, seed=42, universe=universe).collect()
+    train_pos = {(r.user, r.item) for r in train.collect()}
+    assert any(r.neg_item >= 4 for r in got)  # test-only items reachable
+    for r in got:
+        assert 0 <= r.neg_item <= 9
+        assert (r.user, r.neg_item) not in train_pos
+    # exact replay with the universe modulus: first non-train candidate
+    for r in got:
+        for j in range(1, 13):
+            cand = _py_neg_stream(42, r.user, r.pos_item, j, 10)
+            if (r.user, cand) not in train_pos:
+                assert (cand, j) == (r.neg_item, r.attempt)
+                break
+
+
 def test_negative_sample_items_deterministic(spark):
     from kgp.stages.training import negative_sample_items
 
