@@ -162,16 +162,34 @@ def write_icd_xlsx(path: str, n: int = 50) -> None:
     (prepare_el_index.py:63-69) — header row + (code, name) string rows —
     plus a byte-equivalent CSV twin at <path>.csv so the DuckDB oracle
     can re-read the SAME logical content through its CSV reader (DuckDB
-    has no xlsx scan; the cross-format equality is the certification)."""
+    has no xlsx scan; the cross-format equality is the certification).
+
+    The workbook deliberately carries the two real-exporter edge cases
+    (VERDICT r4 item 4): the first sheet is stored as ``sheet3.xml``
+    (resolvable only through the workbook rels — a decoy ``sheet1.xml``
+    sorts first lexicographically AND sits first in zip order), and every
+    5th row is RAGGED (code only, no name cell) — the CSV twin encodes
+    those names as '' so the certified query proves the ''-coalesce."""
     from kgp.io.xlsx import write_xlsx
 
     rows = []
     for i in range(n):
         code = f"{chr(ord('A') + i % 7)}{i % 90:02d}.{i % 10}"
-        name = " ".join(_tokens(i, 2 + i % 3)) + f" disorder {i}"
-        rows.append([code, name])
-    write_xlsx(path, rows, header=["code", "name"])
-    csv_lines = ["code,name"] + [f"{c},{nm}" for c, nm in rows]
+        if i % 5 == 4:
+            rows.append([code])  # ragged: missing trailing name cell
+        else:
+            name = " ".join(_tokens(i, 2 + i % 3)) + f" disorder {i}"
+            rows.append([code, name])
+    write_xlsx(
+        path,
+        rows,
+        header=["code", "name"],
+        sheet_member="xl/worksheets/sheet3.xml",
+        decoy=("xl/worksheets/sheet1.xml", [["WRONG", "SHEET"], ["decoy", "rows"]]),
+    )
+    csv_lines = ["code,name"] + [
+        f"{r[0]},{r[1] if len(r) > 1 else ''}" for r in rows
+    ]
     _write(path + ".csv", "\n".join(csv_lines) + "\n")
 
 

@@ -39,29 +39,9 @@ def _q(tag: str) -> str:
 # writer (fixture generation)
 # ---------------------------------------------------------------------------
 
-_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-<Default Extension="xml" ContentType="application/xml"/>
-<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
-</Types>"""
-
 _RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-</Relationships>"""
-
-_WORKBOOK = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<workbook xmlns="{_SSML}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-</workbook>"""
-
-_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
 </Relationships>"""
 
 
@@ -80,11 +60,7 @@ def _esc(s: str) -> str:
     )
 
 
-def write_xlsx(path: str, rows: list[list], header: list[str] | None = None) -> None:
-    """Write rows (str or numeric cells) as Sheet1 of a minimal workbook.
-    Strings go through sharedStrings (deduplicated), numbers inline."""
-    all_rows = ([header] if header else []) + [list(r) for r in rows]
-    strings: dict[str, int] = {}
+def _sheet_xml(all_rows: list[list], strings: dict[str, int]) -> str:
     body = []
     for ri, row in enumerate(all_rows, start=1):
         cells = []
@@ -96,9 +72,68 @@ def write_xlsx(path: str, rows: list[list], header: list[str] | None = None) -> 
                 sid = strings.setdefault(str(v), len(strings))
                 cells.append(f'<c r="{ref}" t="s"><v>{sid}</v></c>')
         body.append(f'<row r="{ri}">{"".join(cells)}</row>')
-    sheet = (
+    return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<worksheet xmlns="{_SSML}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+
+
+def write_xlsx(
+    path: str,
+    rows: list[list],
+    header: list[str] | None = None,
+    sheet_member: str = "xl/worksheets/sheet1.xml",
+    decoy: tuple[str, list[list]] | None = None,
+) -> None:
+    """Write rows (str or numeric cells) as the workbook's FIRST sheet.
+    Strings go through sharedStrings (deduplicated), numbers inline.
+
+    ``sheet_member`` stores the first sheet under a non-default part
+    name (exporters that deleted/reordered sheets do this — e.g. the
+    first sheet living in ``sheet3.xml``); ``decoy`` adds a SECOND sheet
+    ``(member, rows)`` whose part name may sort lexicographically before
+    the real one, so a reader that ignores the workbook rels and grabs
+    the first ``xl/worksheets/*`` member parses the wrong sheet."""
+    all_rows = ([header] if header else []) + [list(r) for r in rows]
+    strings: dict[str, int] = {}
+    sheet = _sheet_xml(all_rows, strings)
+    members = [(sheet_member, sheet)]
+    sheets_xml = [f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/>']
+    rels_xml = [
+        f'<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="{sheet_member[3:]}"/>'
+    ]
+    if decoy is not None:
+        d_member, d_rows = decoy
+        members.append((d_member, _sheet_xml([list(r) for r in d_rows], strings)))
+        sheets_xml.append('<sheet name="Decoy" sheetId="2" r:id="rId3"/>')
+        rels_xml.append(
+            f'<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="{d_member[3:]}"/>'
+        )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_SSML}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets>{"".join(sheets_xml)}</sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(rels_xml)
+        + '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    overrides = "".join(
+        f'<Override PartName="/{m}" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for m, _ in members
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + overrides
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
     )
     sst_items = "".join(
         f"<si><t>{_esc(s)}</t></si>"
@@ -109,15 +144,18 @@ def write_xlsx(path: str, rows: list[list], header: list[str] | None = None) -> 
         f'<sst xmlns="{_SSML}" count="{len(strings)}" uniqueCount="{len(strings)}">{sst_items}</sst>'
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        # fixed timestamps: byte-stable fixtures across runs
-        for name, data in [
-            ("[Content_Types].xml", _CONTENT_TYPES),
+        # fixed timestamps: byte-stable fixtures across runs. Decoy members
+        # are written BEFORE the real sheet so a zip-order-based reader
+        # fails too, not just a lexicographic one.
+        parts = [
+            ("[Content_Types].xml", content_types),
             ("_rels/.rels", _RELS),
-            ("xl/workbook.xml", _WORKBOOK),
-            ("xl/_rels/workbook.xml.rels", _WB_RELS),
-            ("xl/worksheets/sheet1.xml", sheet),
+            ("xl/workbook.xml", workbook),
+            ("xl/_rels/workbook.xml.rels", wb_rels),
+            *[(m, s) for m, s in reversed(members)],
             ("xl/sharedStrings.xml", sst),
-        ]:
+        ]
+        for name, data in parts:
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             zi.compress_type = zipfile.ZIP_DEFLATED
             z.writestr(zi, data)
@@ -238,8 +276,9 @@ def read_excel_dict(spark: SparkSession, path: str) -> DataFrame:
         raw.where(F.col("row_idx") > 0)
         .select(
             # ragged rows: a data row with fewer cells than the header gets
-            # '' (pd.read_excel/CSV-twin behavior), not NULL
-            F.coalesce(F.col("cells")[0], F.lit("")).alias("icd_code"),
-            F.coalesce(F.col("cells")[1], F.lit("")).alias("entity_name"),
+            # '' (pd.read_excel/CSV-twin behavior), not NULL. F.get (not
+            # the [] index) tolerates short arrays under ANSI mode.
+            F.coalesce(F.get("cells", 0), F.lit("")).alias("icd_code"),
+            F.coalesce(F.get("cells", 1), F.lit("")).alias("entity_name"),
         )
     )

@@ -1183,7 +1183,7 @@ def read_excel_dict_sql(csv_twin_path: str) -> str:
     the fixture writer emits a byte-equivalent CSV of the same logical
     rows; equality across the two FORMATS certifies the xlsx parser."""
     return f"""
-SELECT code AS icd_code, name AS entity_name
+SELECT code AS icd_code, coalesce(name, '') AS entity_name
 FROM read_csv('{csv_twin_path}', header=true, all_varchar=true)
 """
 

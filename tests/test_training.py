@@ -38,6 +38,29 @@ def test_xlsx_numeric_and_sparse_cells():
     assert grid[1] == ["only"]
 
 
+def test_xlsx_renamed_sheet_resolved_via_rels():
+    """Exporters that deleted/reordered sheets store the first sheet under
+    a non-default part name; the parser must resolve it through the
+    workbook rels — a decoy sheet1.xml sorts first lexicographically AND
+    sits first in zip order, so any shortcut parses the wrong sheet."""
+    from kgp.io.xlsx import parse_xlsx_bytes, write_xlsx
+
+    rows = [["A01.5", "real sheet"], ["B02.1"]]  # second row ragged
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.xlsx")
+        write_xlsx(
+            p, rows, header=["code", "name"],
+            sheet_member="xl/worksheets/sheet3.xml",
+            decoy=("xl/worksheets/sheet1.xml", [["WRONG", "SHEET"]]),
+        )
+        with open(p, "rb") as f:
+            content = f.read()
+        grid = parse_xlsx_bytes(content)
+        assert grid == [["code", "name"], ["A01.5", "real sheet"], ["B02.1"]]
+        # the decoy IS what a rels-ignoring reader would have parsed
+        assert parse_xlsx_bytes(content, sheet="sheet1") == [["WRONG", "SHEET"]]
+
+
 def test_read_excel_dict_matches_csv_twin(spark):
     from kgp.io.reader_fixtures import ensure_reader_fixtures
     from kgp.io.xlsx import read_excel_dict
