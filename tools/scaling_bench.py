@@ -234,12 +234,12 @@ best-of-{repeats} with levels alternated between rounds.
 {pairs[0]['efficiency']:.2f}** (target >= 0.8).
 
 The host is shared: co-tenants produce a fluctuating background load
-(recorded per run below). The 2 -> 8 pair is the honest N-vs-4N proxy
-because both legs leave CPU headroom on the 32-core box; the 8 -> 32
-pair's larger leg has zero headroom, so background load taxes it
-asymmetrically — an artifact of the sandbox, not of the plan (no pipeline
-stage serializes on one task; per-stage task counts stay >= the core
-count at every level, see tools/profile_stages.py).
+(recorded per run below). Levels {levels} were measured; an N-vs-4N
+pair is honest when BOTH legs leave CPU headroom on the 32-core box
+(a 32-core leg has zero headroom against co-tenants, so background load
+taxes it asymmetrically — an artifact of the sandbox, not of the plan:
+no pipeline stage serializes on one task; per-stage task counts stay
+>= the core count at every level, see tools/profile_stages.py).
 
 All runs (best-of-{repeats} per level):
 
