@@ -218,8 +218,8 @@ def main():
 Sandbox proxy for the north_rule's "N vs 4N executors" criterion: the same
 end-to-end job (transcripts -> documents -> mentions -> relations -> coref
 clusters -> links -> triples -> KGAT edges) on the same input
-({n_triples} emitted triples from ~500k turns, incl. one 10^4-turn skew
-conversation) at several parallelism levels, fresh subprocess per run,
+({n_triples} emitted triples from the {os.path.basename(sf_dir)} fixture, incl. one
+10^4-turn skew conversation) at several parallelism levels, fresh subprocess per run,
 best-of-{repeats} with levels alternated between rounds.
 
 | level | e2e wall (s) | triples/sec |
