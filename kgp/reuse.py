@@ -61,6 +61,60 @@ def local_reuse(df: DataFrame, name: str | None = None) -> DataFrame:
     return df.localCheckpoint()
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the files feeding ``df`` — metadata only
+    (no job). 0 when the input isn't file-backed (synthetic ranges,
+    streaming sources)."""
+    total = 0
+    try:
+        for p in df.inputFiles():
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):
+                    p = p[1:]
+            total += os.path.getsize(p)
+    except Exception:
+        return 0
+    return total
+
+
+def local_reuse_for(in_bytes: int = 0):
+    """Scale-adaptive local profile: pick the checkpoint storage level
+    from the job's input size.
+
+    Deserialized row blocks (localCheckpoint's default) are fastest when
+    the pinned tables fit comfortably — but they carry ~10-20x the
+    on-disk parquet footprint as JVM objects, and at sf16 that residency
+    both forced a 16 GB driver heap and taxed memory bandwidth: the
+    round-5 eventlog decomposition measured +14% task core-seconds on
+    the 4-core leg, and switching the pins to serialized UnsafeRow bytes
+    cut that leg ~23% (same host, same input). At sf0.1 the same switch
+    is a ~7% LOSS (the extra ser/deser copy on a job whose pins are a
+    few MB). So: serialized above KGP_CKPT_SER_MB (default 32 MB of
+    input parquet — sf4/sf16 qualify, the sf0.1 driver bench does not),
+    deserialized below; KGP_CKPT_SER=0/1 force-overrides either way.
+    """
+    env = os.environ.get("KGP_CKPT_SER")
+    if env == "1":
+        ser = True
+    elif env == "0":
+        ser = False
+    else:
+        thresh_mb = float(os.environ.get("KGP_CKPT_SER_MB", "32"))
+        ser = in_bytes > thresh_mb * 1e6
+
+    if not ser:
+        return lambda df, name=None: df.localCheckpoint()
+
+    from pyspark import StorageLevel
+
+    def reuse(df: DataFrame, name: str | None = None) -> DataFrame:
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+    reuse.serialized = True  # introspectable in tests
+    return reuse
+
+
 def lineage_reuse(
     spark: SparkSession,
     outdir: str,
@@ -100,12 +154,14 @@ def default_reuse(
     spark: SparkSession,
     fingerprint: str = "adhoc",
     outdir: str | None = None,
+    input_df: DataFrame | None = None,
 ):
     """The env-selected profile: ``KGP_REUSE=table`` -> lineage stage
-    tables (cluster profile), anything else -> local checkpoints."""
+    tables (cluster profile), anything else -> local checkpoints whose
+    storage level adapts to the input scale (:func:`local_reuse_for`)."""
     if os.environ.get("KGP_REUSE") == "table":
         outdir = outdir or os.environ.get("KGP_REUSE_DIR") or tempfile.mkdtemp(
             prefix="kgp-reuse-"
         )
         return lineage_reuse(spark, outdir, fingerprint)
-    return local_reuse
+    return local_reuse_for(input_bytes(input_df) if input_df is not None else 0)

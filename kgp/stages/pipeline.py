@@ -43,7 +43,9 @@ def _default_reuse(spark: SparkSession, transcripts: DataFrame, cfg: PipelineCon
 
     if os.environ.get("KGP_REUSE") == "table":
         return default_reuse(spark, fingerprint=input_fingerprint(transcripts, cfg))
-    return default_reuse(spark)
+    # local profile: storage level adapts to input scale (serialized
+    # pins above ~32 MB of input parquet — see kgp.reuse.local_reuse_for)
+    return default_reuse(spark, input_df=transcripts)
 
 
 def _run_concurrently(spark: SparkSession, *thunks) -> list:

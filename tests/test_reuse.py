@@ -86,3 +86,34 @@ def test_cf_embedding_table_reuse_matches_local(spark, tmp_path):
     )
     assert table == base
     assert os.path.exists(str(tmp_path / "cf" / "_lineage" / "cf_layer_1.json"))
+
+
+def test_adaptive_ckpt_storage_selection(monkeypatch):
+    """local_reuse_for picks serialized pins above the input-size
+    threshold, deserialized below, with KGP_CKPT_SER force-overriding —
+    the round-5 finding: serialized pins cut the 4-core sf16 leg ~23%
+    (bandwidth/residency) but cost ~7% at sf0.1 (extra copy)."""
+    from kgp.reuse import local_reuse_for
+
+    monkeypatch.delenv("KGP_CKPT_SER", raising=False)
+    assert not getattr(local_reuse_for(1_000_000), "serialized", False)
+    assert getattr(local_reuse_for(140_000_000), "serialized", False)
+    monkeypatch.setenv("KGP_CKPT_SER", "0")
+    assert not getattr(local_reuse_for(140_000_000), "serialized", False)
+    monkeypatch.setenv("KGP_CKPT_SER", "1")
+    assert getattr(local_reuse_for(0), "serialized", False)
+
+
+def test_adaptive_ckpt_pipeline_equivalence(spark, monkeypatch):
+    """Serialized vs deserialized pins are a pure storage-format choice:
+    identical pipeline outputs either way."""
+    from kgp.fixtures import TRANSCRIPT_SCHEMA, make_transcripts
+
+    rows = make_transcripts(FX)
+    t = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    model = fixture_model(spark, FX)
+    monkeypatch.setenv("KGP_CKPT_SER", "0")
+    base = _snap(run_pipeline(spark, t, model))
+    monkeypatch.setenv("KGP_CKPT_SER", "1")
+    ser = _snap(run_pipeline(spark, t, model))
+    assert base == ser
