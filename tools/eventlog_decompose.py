@@ -114,6 +114,16 @@ def main(path: str) -> None:
             merged.append([s, c])
     covered = sum(c - s for s, c in merged) / 1000.0
     wall = (job_window[1] - job_window[0]) / 1000.0
+    # locate the gaps, not just total them: the largest driver-only holes
+    # between consecutive merged stage intervals, with the stage ids that
+    # bound each hole (what finished before, what the driver launched
+    # after) — this is what turns "12.8% gaps" into a fixable line of code
+    gaps = []
+    for (s0, c0), (s1, c1) in zip(merged, merged[1:]):
+        before = [k for k, iv in stages.items() if iv[1] == c0]
+        after = [k for k, iv in stages.items() if iv[0] == s1]
+        gaps.append(((s1 - c0) / 1000.0, before[:3], after[:3]))
+    gaps.sort(reverse=True)
     # app wall includes the driver-only time BEFORE the first job submit
     # (session build, Catalyst analysis of the first query) that the
     # job-span window hides — report both so the serial floor is honest
@@ -124,6 +134,12 @@ def main(path: str) -> None:
               f"   pre-first-job driver time: {pre:.1f} s")
     print(f"wall (first submit -> last job end): {wall:.1f} s")
     print(f"stage-covered time: {covered:.1f} s   driver-only gaps: {wall - covered:.1f} s")
+    if gaps:
+        print("largest gaps (s, stage finishing before -> stage starting after):")
+        for g, before, after in gaps[:10]:
+            if g < 0.2:
+                break
+            print(f"  {g:6.1f} s  after {before} -> before {after}")
     print(f"sum task time: {task_ms / 1000.0:.1f} core-s   executor CPU in tasks: {cpu_ns / 1e9:.1f} core-s")
     print(f"GC inside tasks: {gc_ms / 1000.0:.1f} s ({gc_ms / max(task_ms, 1) * 100:.1f}% of task wall)")
     small = sorted(task_counts.items())
