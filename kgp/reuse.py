@@ -93,25 +93,45 @@ def local_reuse_for(in_bytes: int = 0):
     few MB). So: serialized above KGP_CKPT_SER_MB (default 32 MB of
     input parquet — sf4/sf16 qualify, the sf0.1 driver bench does not),
     deserialized below; KGP_CKPT_SER=0/1 force-overrides either way.
-    """
-    env = os.environ.get("KGP_CKPT_SER")
-    if env == "1":
-        ser = True
-    elif env == "0":
-        ser = False
-    else:
-        thresh_mb = float(os.environ.get("KGP_CKPT_SER_MB", "32"))
-        ser = in_bytes > thresh_mb * 1e6
 
-    if not ser:
+    Above KGP_CKPT_DISK_MB (default 96 MB of input parquet — sf16
+    qualifies, sf4 does not) the pins go DISK_ONLY: the round-5 jstack
+    probe of the sf16 4-core leg caught the 70 s driver-only gap
+    red-handed as SINGLE-THREADED block eviction — the broadcast-exchange
+    thread calling MemoryStore.evictBlocksToFreeSpace -> DiskStore.putBytes
+    to push pinned checkpoint blocks to disk one at a time while every
+    core idled. DISK_ONLY pays the same disk write, but inside the
+    checkpoint job's parallel tasks (and the OS page cache serves the
+    re-reads), so the serial stall never forms.
+    """
+    level = os.environ.get("KGP_CKPT_LEVEL")
+    if not level:
+        env = os.environ.get("KGP_CKPT_SER")
+        if env == "1":
+            level = "ser"
+        elif env == "0":
+            level = "deser"
+        else:
+            disk_mb = float(os.environ.get("KGP_CKPT_DISK_MB", "96"))
+            ser_mb = float(os.environ.get("KGP_CKPT_SER_MB", "32"))
+            level = (
+                "disk" if in_bytes > disk_mb * 1e6
+                else "ser" if in_bytes > ser_mb * 1e6
+                else "deser"
+            )
+
+    if level == "deser":
         return lambda df, name=None: df.localCheckpoint()
 
     from pyspark import StorageLevel
 
+    sl = StorageLevel.DISK_ONLY if level == "disk" else StorageLevel.MEMORY_AND_DISK
+
     def reuse(df: DataFrame, name: str | None = None) -> DataFrame:
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=True, storageLevel=sl)
 
     reuse.serialized = True  # introspectable in tests
+    reuse.level = level
     return reuse
 
 

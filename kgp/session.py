@@ -91,7 +91,22 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC auto-broadcast is OFF (-1): Catalyst's size estimates are
+        # meaningless through pandas-UDF and localCheckpoint boundaries
+        # (a checkpointed LogicalRDD inherits the pre-materialization
+        # estimate), and the round-5 sf16 event-log/jstack probe caught
+        # the old 64 MB static threshold planning BROADCASTS OF THE
+        # CORPUS-SIZED mention/token tables (re_pairs' b-side, the banded
+        # coref a-side, turn_tokens) — a driver OOM at 8 GB and a 70 s
+        # single-threaded eviction stall at 16 GB, and a cluster-killer at
+        # real scale. Broadcastability is decided either explicitly
+        # (F.broadcast on vocabulary-bounded dims: alias dict, thetas,
+        # centroids, item dim) or by AQE at runtime from MEASURED shuffle
+        # sizes (threshold below) — never from static guesses.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
     )
     if iceberg_available():  # pragma: no cover - not present in sandbox
         wh = os.environ.get("KGP_WAREHOUSE", "/tmp/kgp_warehouse")

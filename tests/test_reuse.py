@@ -117,3 +117,24 @@ def test_adaptive_ckpt_pipeline_equivalence(spark, monkeypatch):
     monkeypatch.setenv("KGP_CKPT_SER", "1")
     ser = _snap(run_pipeline(spark, t, model))
     assert base == ser
+    monkeypatch.delenv("KGP_CKPT_SER")
+    monkeypatch.setenv("KGP_CKPT_LEVEL", "disk")
+    disk = _snap(run_pipeline(spark, t, model))
+    assert base == disk
+
+
+def test_adaptive_ckpt_level_thresholds(monkeypatch):
+    """The local profile picks the pin storage level from input bytes:
+    deserialized below KGP_CKPT_SER_MB, serialized UnsafeRow between the
+    thresholds, DISK_ONLY above KGP_CKPT_DISK_MB (the sf16 jstack probe
+    caught single-threaded MemoryStore eviction stalling all cores when
+    big pins sat in the storage pool — SCALING.md round-5)."""
+    from kgp.reuse import local_reuse_for
+
+    monkeypatch.delenv("KGP_CKPT_SER", raising=False)
+    monkeypatch.delenv("KGP_CKPT_LEVEL", raising=False)
+    assert not hasattr(local_reuse_for(10e6), "level")  # deserialized
+    assert local_reuse_for(40e6).level == "ser"
+    assert local_reuse_for(150e6).level == "disk"
+    monkeypatch.setenv("KGP_CKPT_LEVEL", "ser")
+    assert local_reuse_for(150e6).level == "ser"  # explicit override wins
